@@ -1,0 +1,108 @@
+"""Dense-streaming cluster kernel vs brute force (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vkrt_tpu.accel.clusters import K1, K2, build_clusters
+from vkrt_tpu.golden.cpu_tracer import closest_hit as brute_closest
+from vkrt_tpu.golden.cpu_tracer import occluded as brute_occluded
+from vkrt_tpu.rt.dense import trace_dense
+
+
+@pytest.fixture(scope="module")
+def scene(rng=None):
+    rng = np.random.default_rng(42)
+    n = 900
+    v0 = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    e1 = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    e2 = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    tree = build_clusters(jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+                          device=False)
+    return v0, e1, e2, tree
+
+
+def make_rays(n_rays=256, seed=5):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-8, 8, (n_rays, 3)).astype(np.float32)
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, d
+
+
+def test_dense_closest_matches_brute(scene):
+    v0, e1, e2, tree = scene
+    o, d = make_rays()
+    tmax = np.full(o.shape[0], 1e3, np.float32)
+    t, slot, u, v = trace_dense(tree, jnp.asarray(o), jnp.asarray(d),
+                                jnp.asarray(tmax), block=128, interpret=True)
+    bt, btri, bu, bv = brute_closest(o, d, 0.001, 1e3, v0, e1, e2)
+    tri = np.where(np.asarray(slot) >= 0,
+                   np.asarray(tree.leaf_tri)[np.maximum(np.asarray(slot), 0)], -1)
+    hit = tri >= 0
+    np.testing.assert_array_equal(hit, btri >= 0)
+    both = hit & (btri >= 0)
+    np.testing.assert_allclose(np.asarray(t)[both], bt[both], rtol=1e-4, atol=1e-5)
+    agree = tri[both] == btri[both]
+    assert agree.mean() > 0.99
+    np.testing.assert_allclose(np.asarray(u)[both][agree], bu[both][agree], atol=1e-4)
+
+
+def test_dense_occlusion_matches_brute(scene):
+    v0, e1, e2, tree = scene
+    o, d = make_rays(seed=6)
+    rng = np.random.default_rng(9)
+    tmax = rng.uniform(0.5, 20.0, o.shape[0]).astype(np.float32)
+    _, slot, _, _ = trace_dense(tree, jnp.asarray(o), jnp.asarray(d),
+                                jnp.asarray(tmax), block=128, occlusion=True,
+                                interpret=True)
+    bocc = brute_occluded(o, d, 0.001, tmax, v0, e1, e2)
+    assert ((np.asarray(slot) >= 0) == bocc).mean() > 0.995
+
+
+def test_dense_attributes_interpolate(scene):
+    v0, e1, e2, tree_plain = scene
+    # attach synthetic attributes: n0/n1/n2 constant per tri = tri index
+    n = v0.shape[0]
+    tid = np.arange(n, dtype=np.float32)[:, None]
+    attrs = {
+        "n0": jnp.asarray(np.tile(tid, (1, 3))),
+        "n1": jnp.asarray(np.tile(tid, (1, 3))),
+        "n2": jnp.asarray(np.tile(tid, (1, 3))),
+        "uv0": jnp.asarray(np.zeros((n, 2), np.float32)),
+        "uv1": jnp.asarray(np.tile([[1.0, 0.0]], (n, 1))),
+        "uv2": jnp.asarray(np.tile([[0.0, 1.0]], (n, 1))),
+        "t0": jnp.asarray(np.zeros((n, 3), np.float32)),
+        "t1": jnp.asarray(np.zeros((n, 3), np.float32)),
+        "t2": jnp.asarray(np.zeros((n, 3), np.float32)),
+        "mat": jnp.asarray(np.tile(tid, (1, 3))),
+    }
+    tree = build_clusters(jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+                          attrs=attrs, with_attributes=True, device=False)
+    o, d = make_rays(seed=11)
+    tmax = np.full(o.shape[0], 1e3, np.float32)
+    t, slot, u, v, a = trace_dense(tree, jnp.asarray(o), jnp.asarray(d),
+                                   jnp.asarray(tmax), block=128,
+                                   with_attributes=True, interpret=True)
+    slot = np.asarray(slot)
+    hit = slot >= 0
+    tri = np.asarray(tree.leaf_tri)[np.maximum(slot, 0)]
+    a = np.asarray(a)
+    # attr columns carry the PER-CORNER values of the hit triangle
+    # (interpolation happens in shading): 0-2 n0, 3-5 n1, 6-8 n2,
+    # 9-10 uv0, 11-12 uv1, 13-14 uv2, 15-23 tangents, 24-26 material ids.
+    np.testing.assert_allclose(a[hit, 0], tri[hit].astype(np.float32), atol=1e-3)
+    np.testing.assert_allclose(a[hit, 3], tri[hit].astype(np.float32), atol=1e-3)
+    np.testing.assert_allclose(a[hit, 9], 0.0, atol=1e-6)    # uv0.x
+    np.testing.assert_allclose(a[hit, 11], 1.0, atol=1e-6)   # uv1.x
+    np.testing.assert_allclose(a[hit, 24], tri[hit].astype(np.float32), atol=1e-3)
+
+
+def test_cluster_tree_shapes(scene):
+    _, _, _, tree = scene
+    assert tree.tri_data.shape[1] == 40
+    assert tree.tri_data.shape[2] == K1
+    assert tree.cl_boxes.shape[2] == K2
+    # padding slots map to -1
+    n_real = 900
+    assert (np.asarray(tree.leaf_tri) >= 0).sum() == n_real

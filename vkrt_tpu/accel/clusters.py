@@ -1,0 +1,197 @@
+"""Cluster tree — the dense-streaming acceleration structure.
+
+Replaces the pointer-chasing LBVH for the production TPU path. Measured on
+TPU v5e (see rt/dense.py): XLA/TPU random gathers run at ~30M rows/s while
+dense vector tests stream at 17-100+ Gtests/s — 3 orders of magnitude
+apart. A classic per-ray BVH walk is therefore the wrong shape for this
+hardware; what the VPU wants is *fixed-shape dense sweeps with block-level
+skipping*. The cluster tree provides exactly that:
+
+  * triangles Morton-sorted (spatial locality), grouped into contiguous
+    clusters of K1=128 (= one VPU lane row),
+  * clusters grouped into contiguous superclusters of K2=64,
+  * AABBs per cluster and supercluster, small enough to sit whole in VMEM,
+  * triangle data packed per cluster as [rows, 128] slabs (lane-major) so
+    one DMA delivers a cluster in compute-ready layout.
+
+This plays the role of the reference's driver-built BLAS
+(ref: src/Raytracer.cpp:1027-1157) — and is cheap enough to rebuild per
+frame (argsort + reshaped min/max only), which the driver build was not;
+the stress config (BASELINE config 5) relies on this.
+
+Build is fully jittable. Geometry rows in `tri_data` (f32[C1, ROWS, 128]):
+  0-2  v0.xyz        3-5  e1.xyz        6-8  e2.xyz
+  9-11  n0.xyz      12-14 n1.xyz       15-17 n2.xyz      (vertex normals)
+ 18-19  uv0         20-21 uv1          22-23 uv2
+ 24-26  t0.xyz      27-29 t1.xyz       30-32 t2.xyz      (vertex tangents)
+ 33     base-color image id            34 metallic-roughness image id
+ 35     normal image id                36-39 pad
+Attribute rows let the trace kernel select shading inputs with masked lane
+reductions instead of post-trace gathers (gathers are the enemy, above).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vkrt_tpu.accel.lbvh import morton30
+
+K1 = 128   # triangles per cluster (== VPU lane width)
+K2 = 64    # clusters per supercluster
+ROWS = 40  # rows in the packed per-cluster slab (36 used)
+
+_INF = 3.0e38
+
+
+class ClusterTree(NamedTuple):
+    sc_boxes: jax.Array   # f32[8, C2p]   rows 0-2 min.xyz, 3-5 max.xyz (lane-major)
+    cl_boxes: jax.Array   # f32[C2, 8, K2] per-supercluster cluster AABBs
+    tri_data: jax.Array   # f32[C1p, ROWS, K1] packed geometry+attribute slabs
+    leaf_tri: jax.Array   # i32[Tp] slot → original triangle id (-1 = padding)
+
+    @property
+    def num_clusters(self) -> int:
+        return int(self.tri_data.shape[0])
+
+    @property
+    def num_superclusters(self) -> int:
+        return int(self.cl_boxes.shape[0])
+
+
+def _pad_rows(x: jnp.ndarray, n: int, fill: float = 0.0) -> jnp.ndarray:
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+
+
+# lo/hi come in as arguments: a reduction to a [3]-shaped output takes
+# ~150s to compile on the v5e toolchain (measured), so the scene AABB is
+# computed on the host once and transformed analytically for rebuilds.
+@jax.jit
+def _morton_keys(v0, e1, e2, lo, hi):
+    centroid = v0 + (e1 + e2) / 3.0
+    return morton30(centroid, lo, hi)
+
+
+# Standalone: XLA's TPU sort compile blows up (~400s) when the key
+# computation is fused into the sort; with keys as a jit INPUT it's ~13s.
+@jax.jit
+def _argsort(codes):
+    return jnp.argsort(codes)
+
+
+def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
+                   device: bool = True, aabb=None) -> ClusterTree:
+    """Build the cluster tree. `attrs` (optional dict of per-triangle arrays:
+    n0..n2 [T,3], uv0..uv2 [T,2], t0..t2 [T,3], mat [T,3]) fills the
+    attribute rows when with_attributes=True.
+
+    device=True keeps sorting on device (the per-frame rebuild path,
+    BASELINE config 5). device=False argsorts on the host (zero compile
+    cost at startup). `aabb=(lo, hi)` bounds the Morton quantization range;
+    if omitted it is computed on the host (conservative bounds are fine —
+    rebuilds under a transform should pass the transformed cached AABB).
+    """
+    import numpy as np
+    if aabb is None:
+        c = np.asarray(v0) + (np.asarray(e1) + np.asarray(e2)) / 3.0
+        aabb = (c.min(axis=0), c.max(axis=0))
+    lo = jnp.asarray(aabb[0], jnp.float32)
+    hi = jnp.asarray(aabb[1], jnp.float32)
+    if device:
+        order = _argsort(_morton_keys(v0, e1, e2, lo, hi))
+    else:
+        codes = np.asarray(_morton_keys(v0, e1, e2, lo, hi))
+        order = jnp.asarray(np.argsort(codes, kind="stable").astype(np.int32))
+    return _assemble(v0, e1, e2, order, attrs, with_attributes)
+
+
+@partial(jax.jit, static_argnames=("with_attributes",))
+def _assemble(v0, e1, e2, order, attrs=None, with_attributes: bool = False) -> ClusterTree:
+    T = v0.shape[0]
+    Tp = -(-T // K1) * K1
+    C1 = Tp // K1
+    C1p = -(-C1 // K2) * K2
+    C2 = C1p // K2
+
+    sv0 = _pad_rows(v0[order], Tp)
+    se1 = _pad_rows(e1[order], Tp)
+    se2 = _pad_rows(e2[order], Tp)
+    leaf_tri = _pad_rows(order.astype(jnp.int32), Tp, fill=-1)
+
+    # per-leaf AABBs; padding neutral (+inf / -inf)
+    valid = (jnp.arange(Tp) < T)[:, None]
+    lmin = jnp.where(valid,
+                     jnp.minimum(jnp.minimum(sv0, sv0 + se1), sv0 + se2), _INF)
+    lmax = jnp.where(valid,
+                     jnp.maximum(jnp.maximum(sv0, sv0 + se1), sv0 + se2), -_INF)
+
+    cl_min = lmin.reshape(C1, K1, 3).min(axis=1)       # [C1,3]
+    cl_max = lmax.reshape(C1, K1, 3).max(axis=1)
+    cl_min = _pad_rows(cl_min, C1p, fill=float(_INF))
+    cl_max = _pad_rows(cl_max, C1p, fill=float(-_INF))
+
+    sc_min = cl_min.reshape(C2, K2, 3).min(axis=1)     # [C2,3]
+    sc_max = cl_max.reshape(C2, K2, 3).max(axis=1)
+
+    # lane-major packing ----------------------------------------------------
+    C2p = max(128, -(-C2 // 128) * 128)
+    sc_boxes = jnp.full((8, C2p), _INF, jnp.float32)
+    sc_boxes = sc_boxes.at[3:6, :].set(-_INF)   # padding lanes: inverted box
+    sc_boxes = sc_boxes.at[0:3, :C2].set(sc_min.T)
+    sc_boxes = sc_boxes.at[3:6, :C2].set(sc_max.T)
+
+    cl_boxes = jnp.zeros((C2, 8, K2), jnp.float32)
+    cl_boxes = cl_boxes.at[:, 0:3, :].set(
+        cl_min.reshape(C2, K2, 3).transpose(0, 2, 1))
+    cl_boxes = cl_boxes.at[:, 3:6, :].set(
+        cl_max.reshape(C2, K2, 3).transpose(0, 2, 1))
+
+    def lanes(x):   # [Tp, k] → [C1, k, K1]
+        return x.reshape(C1, K1, -1).transpose(0, 2, 1)
+
+    rows = [lanes(sv0), lanes(se1), lanes(se2)]        # rows 0-8
+    if with_attributes:
+        a = attrs
+        rows += [lanes(_pad_rows(a["n0"][order], Tp)),
+                 lanes(_pad_rows(a["n1"][order], Tp)),
+                 lanes(_pad_rows(a["n2"][order], Tp)),
+                 lanes(_pad_rows(a["uv0"][order], Tp)),
+                 lanes(_pad_rows(a["uv1"][order], Tp)),
+                 lanes(_pad_rows(a["uv2"][order], Tp)),
+                 lanes(_pad_rows(a["t0"][order], Tp)),
+                 lanes(_pad_rows(a["t1"][order], Tp)),
+                 lanes(_pad_rows(a["t2"][order], Tp)),
+                 lanes(_pad_rows(a["mat"][order].astype(jnp.float32), Tp))]
+    tri_data = jnp.concatenate(rows, axis=1)           # [C1, used_rows, K1]
+    used = tri_data.shape[1]
+    if used < ROWS:
+        tri_data = jnp.concatenate(
+            [tri_data, jnp.zeros((C1, ROWS - used, K1), jnp.float32)], axis=1)
+    tri_data = _pad_rows(tri_data, C1p)
+
+    return ClusterTree(sc_boxes=sc_boxes, cl_boxes=cl_boxes,
+                       tri_data=tri_data, leaf_tri=leaf_tri)
+
+
+def scene_attrs(flat) -> dict:
+    """Per-triangle attribute arrays from a FlatScene (host, numpy)."""
+    import numpy as np
+    idx = np.asarray(flat.indices, dtype=np.int64)
+    out = {}
+    for k, (i,) in {"n0": (0,), "n1": (1,), "n2": (2,)}.items():
+        out[k] = jnp.asarray(flat.normals[idx[:, i]])
+    for k, (i,) in {"uv0": (0,), "uv1": (1,), "uv2": (2,)}.items():
+        out[k] = jnp.asarray(flat.uvs[idx[:, i]])
+    for k, (i,) in {"t0": (0,), "t1": (1,), "t2": (2,)}.items():
+        out[k] = jnp.asarray(flat.tangents[idx[:, i], :3])
+    out["mat"] = jnp.asarray(
+        np.stack([flat.tri_base_color, flat.tri_metallic_roughness,
+                  flat.tri_normal], axis=1).astype(np.float32))
+    return out
