@@ -1,0 +1,67 @@
+"""Benchmark driver — one JSON line for the judge.
+
+Metric (BASELINE.json): Mrays/s at 1080p Sponza, primary + shadow +
+reflection (depth-2 trace, 4 lights — the reference workload's shading
+contract at config-4 resolution). vs_baseline is measured against the
+north-star target of 200 Mrays/s on a v5e-8 (8 chips); this runs on ONE
+chip, so parity with the target is vs_baseline = 8 × value / 200 ≈
+value / 25 per chip. We report vs_baseline = value / 200 (the honest
+whole-target ratio) and include the per-chip context in extra fields.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SCENE = "/root/reference/models/sponza/Sponza.gltf"
+
+
+def main():
+    from vkrt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import numpy as np
+
+    from vkrt_tpu import config as C
+    from vkrt_tpu.app.camera import Camera
+    from vkrt_tpu.wavefront.engine import Renderer
+
+    cfg = C.config4_flythrough()   # 1920x1080, depth 2, 4 lights, shadows+refl
+    backend = os.environ.get("VKRT_BENCH_BACKEND", "dense")
+    renderer = Renderer(SCENE, cfg, backend=backend)
+
+    cam = Camera(cfg.width, cfg.height)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+
+    # warm-up (compile)
+    fb, rays = renderer.render(cam)
+
+    reps = int(os.environ.get("VKRT_BENCH_REPS", "3"))
+    t0 = time.perf_counter()
+    total_rays = 0
+    for _ in range(reps):
+        fb, rays = renderer.render(cam)
+        total_rays += rays
+    dt = (time.perf_counter() - t0) / reps
+
+    mrays = (total_rays / reps) / dt / 1e6
+    result = {
+        "metric": "Mrays/s at 1080p Sponza (primary+shadow+reflection)",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 200.0, 4),
+        "frame_ms": round(dt * 1000.0, 1),
+        "rays_per_frame": int(total_rays / reps),
+        "backend": backend,
+        "chips": 1,
+        "note": "target 200 Mrays/s is for v5e-8 (8 chips); single-chip parity = vs_baseline*8",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

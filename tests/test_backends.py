@@ -1,0 +1,48 @@
+"""Dense (Pallas, interpret mode) vs reference (XLA LBVH) backend parity."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vkrt_tpu import config as C
+from vkrt_tpu.app.camera import Camera
+from vkrt_tpu.app.framebuffer import rmse
+from vkrt_tpu.scene import build_texture_heap, flatten_model
+from vkrt_tpu.scene.model import Model
+from vkrt_tpu.wavefront.engine import (TextureArrays, make_backend,
+                                       render_frame)
+
+W, H = 64, 48
+
+
+@pytest.fixture(scope="module")
+def scene(sponza_model):
+    model = Model(submeshes=sponza_model.submeshes[:6],
+                  materials=sponza_model.materials,
+                  images=sponza_model.images)
+    flat = flatten_model(model)
+    heap = build_texture_heap(model.images)
+    tex = TextureArrays(
+        texels=jnp.asarray(heap.texels),
+        level_offset=jnp.asarray(heap.level_offset),
+        level_width=jnp.asarray(heap.level_width),
+        level_height=jnp.asarray(heap.level_height),
+    )
+    cam = Camera(W, H)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+    return flat, tex, cam
+
+
+def test_dense_backend_matches_reference(scene):
+    flat, tex, cam = scene
+    cfg = dataclasses.replace(C.config3_reflections(), width=W, height=H,
+                              num_lights=2)
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS), cfg)
+    ref_fb, _ = render_frame(make_backend(flat, "reference"), tex, *args)
+    dense_fb, _ = render_frame(make_backend(flat, "dense"), tex, *args,
+                               interpret=True)
+    assert rmse(np.asarray(ref_fb), np.asarray(dense_fb)) <= 1e-3

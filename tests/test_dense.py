@@ -88,14 +88,14 @@ def test_dense_attributes_interpolate(scene):
     hit = slot >= 0
     tri = np.asarray(tree.leaf_tri)[np.maximum(slot, 0)]
     a = np.asarray(a)
-    # attr columns carry the PER-CORNER values of the hit triangle
-    # (interpolation happens in shading): 0-2 n0, 3-5 n1, 6-8 n2,
-    # 9-10 uv0, 11-12 uv1, 13-14 uv2, 15-23 tangents, 24-26 material ids.
-    np.testing.assert_allclose(a[hit, 0], tri[hit].astype(np.float32), atol=1e-3)
-    np.testing.assert_allclose(a[hit, 3], tri[hit].astype(np.float32), atol=1e-3)
-    np.testing.assert_allclose(a[hit, 9], 0.0, atol=1e-6)    # uv0.x
-    np.testing.assert_allclose(a[hit, 11], 1.0, atol=1e-6)   # uv1.x
-    np.testing.assert_allclose(a[hit, 24], tri[hit].astype(np.float32), atol=1e-3)
+    # attr columns mirror the slab rows 0-35: 0-8 v0/e1/e2, 9-17 normals,
+    # 18-23 uvs, 24-32 tangents, 33-35 material ids (see shading.interpolate)
+    np.testing.assert_allclose(a[hit, 0], v0[tri[hit], 0], atol=1e-5)   # v0.x
+    np.testing.assert_allclose(a[hit, 9], tri[hit].astype(np.float32), atol=1e-3)
+    np.testing.assert_allclose(a[hit, 12], tri[hit].astype(np.float32), atol=1e-3)
+    np.testing.assert_allclose(a[hit, 18], 0.0, atol=1e-6)   # uv0.x
+    np.testing.assert_allclose(a[hit, 20], 1.0, atol=1e-6)   # uv1.x
+    np.testing.assert_allclose(a[hit, 33], tri[hit].astype(np.float32), atol=1e-3)
 
 
 def test_cluster_tree_shapes(scene):

@@ -1,0 +1,93 @@
+"""Golden-image harness: engine vs the independent brute-force CPU oracle.
+
+The BASELINE.json acceptance bar is ≤1e-3 RMSE against the reference
+frame; with no Vulkan GPU in this environment the brute-force oracle
+(vkrt_tpu/golden) is the golden source. These tests run the REAL engine
+(wavefront rounds, LBVH traversal, texture sampling, full shading
+contract) on a Sponza subset at small resolution and compare frames.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vkrt_tpu import config as C
+from vkrt_tpu.app.camera import Camera
+from vkrt_tpu.app.framebuffer import rmse
+from vkrt_tpu.golden import render_golden
+from vkrt_tpu.scene import build_texture_heap, flatten_model
+from vkrt_tpu.scene.model import Model
+from vkrt_tpu.wavefront.engine import (TextureArrays, make_backend,
+                                       render_frame)
+
+W, H = 64, 48
+
+
+@pytest.fixture(scope="module")
+def subset(sponza_model):
+    # a handful of submeshes keeps the brute-force oracle tractable
+    model = Model(submeshes=sponza_model.submeshes[:6],
+                  materials=sponza_model.materials,
+                  images=sponza_model.images)
+    flat = flatten_model(model)
+    heap = build_texture_heap(model.images)
+    tex = TextureArrays(
+        texels=jnp.asarray(heap.texels),
+        level_offset=jnp.asarray(heap.level_offset),
+        level_width=jnp.asarray(heap.level_width),
+        level_height=jnp.asarray(heap.level_height),
+    )
+    backend = make_backend(flat, "reference")
+    cam = Camera(W, H)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+    return flat, heap, tex, backend, cam
+
+
+def run_both(subset, cfg):
+    flat, heap, tex, backend, cam = subset
+    fb, rays = render_frame(backend, tex, jnp.asarray(cam.proj_inverse),
+                            jnp.asarray(cam.view_inverse),
+                            jnp.asarray(C.LIGHT_POSITIONS), cfg)
+    golden = render_golden(flat, heap, cam.proj_inverse, cam.view_inverse, cfg)
+    return np.asarray(fb), golden, int(np.asarray(rays).sum())
+
+
+def test_config1_primary_flat_albedo(subset):
+    cfg = dataclasses.replace(C.config1_primary(), width=W, height=H)
+    fb, golden, rays = run_both(subset, cfg)
+    assert rays == W * H
+    assert rmse(fb, golden) <= 1e-3
+
+
+def test_config2_shadows(subset):
+    cfg = dataclasses.replace(C.config2_shadows(), width=W, height=H)
+    fb, golden, rays = run_both(subset, cfg)
+    assert rays > W * H  # shadow rays were traced
+    assert rmse(fb, golden) <= 1e-3
+
+
+def test_config3_reflections(subset):
+    cfg = dataclasses.replace(C.config3_reflections(), width=W, height=H,
+                              num_lights=2)
+    fb, golden, rays = run_both(subset, cfg)
+    assert rmse(fb, golden) <= 1e-3
+
+
+def test_full_reference_workload_shape(subset):
+    # reference workload: depth 2, 4 lights (ref: Raytracer.cpp:26-31,978)
+    cfg = dataclasses.replace(C.reference_config(), width=W, height=H)
+    fb, golden, rays = run_both(subset, cfg)
+    assert rmse(fb, golden) <= 1e-3
+
+
+def test_determinism(subset):
+    cfg = dataclasses.replace(C.config2_shadows(), width=W, height=H)
+    flat, heap, tex, backend, cam = subset
+    args = (backend, tex, jnp.asarray(cam.proj_inverse),
+            jnp.asarray(cam.view_inverse), jnp.asarray(C.LIGHT_POSITIONS), cfg)
+    fb1, _ = render_frame(*args)
+    fb2, _ = render_frame(*args)
+    np.testing.assert_array_equal(np.asarray(fb1), np.asarray(fb2))

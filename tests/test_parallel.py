@@ -1,0 +1,40 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vkrt_tpu import config as C
+from vkrt_tpu.app.camera import Camera
+from vkrt_tpu.parallel import make_mesh, render_frame_sharded
+from vkrt_tpu.wavefront.engine import render_frame
+
+
+def test_sharded_matches_single_device():
+    import __graft_entry__ as g
+    backend, tex = g._tiny_scene()
+    cfg = C.RenderConfig(width=64, height=48, max_depth=2, num_lights=2,
+                         enable_shadows=True, enable_reflections=True)
+    cam = Camera(cfg.width, cfg.height)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+
+    single_fb, single_rays = render_frame(backend, tex, *args, cfg)
+
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    mesh = make_mesh()
+    fb, rays = render_frame_sharded(backend, tex, *args, cfg, mesh)
+
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(single_fb),
+                               atol=1e-5)
+    assert int(np.asarray(rays).sum()) == int(np.asarray(single_rays).sum())
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("rays",)

@@ -1,0 +1,123 @@
+"""CLI entry point — the main.cpp analogue, promoted to a real interface.
+
+The reference has zero CLI (main(void), compile-time constants everywhere —
+SURVEY.md §5); here every baked constant is a flag. Examples:
+
+  python -m vkrt_tpu.app.cli --config 1 --output /tmp/frame.png
+  python -m vkrt_tpu.app.cli --config 4 --frames 240 --metrics
+  python -m vkrt_tpu.app.cli --width 1600 --height 1200 --backend dense
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+DEFAULT_SCENE = "/root/reference/models/sponza/Sponza.gltf"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vkrt-tpu",
+        description="TPU-native wavefront ray tracer (vkrt capability port)")
+    p.add_argument("--scene", default=DEFAULT_SCENE, help="glTF scene path")
+    p.add_argument("--config", type=int, choices=[1, 2, 3, 4, 5],
+                   help="BASELINE.json benchmark config")
+    p.add_argument("--width", type=int, help="override resolution width")
+    p.add_argument("--height", type=int, help="override resolution height")
+    p.add_argument("--max-depth", type=int, help="override bounce depth")
+    p.add_argument("--lights", type=int, help="override light count (0-4)")
+    p.add_argument("--no-shadows", action="store_true")
+    p.add_argument("--no-reflections", action="store_true")
+    p.add_argument("--backend", choices=["dense", "reference"], default="dense")
+    p.add_argument("--frames", type=int, default=1,
+                   help=">1 renders the scripted fly-through path")
+    p.add_argument("--output", help="PNG (or .npy) output path")
+    p.add_argument("--max-texture-dim", type=int, default=0,
+                   help="downsample textures at load (0 = full res)")
+    p.add_argument("--metrics", action="store_true", help="print metrics JSON")
+    p.add_argument("--profile-dir", help="write a jax.profiler trace here")
+    p.add_argument("--check-finite", action="store_true",
+                   help="NaN/Inf sentinel on every frame")
+    return p
+
+
+def resolve_config(args):
+    from vkrt_tpu import config as C
+    cfg = C.BASELINE_CONFIGS[args.config]() if args.config else C.reference_config()
+    overrides = {}
+    if args.width:
+        overrides["width"] = args.width
+    if args.height:
+        overrides["height"] = args.height
+    if args.max_depth:
+        overrides["max_depth"] = args.max_depth
+    if args.lights is not None:
+        overrides["num_lights"] = args.lights
+    if args.no_shadows:
+        overrides["enable_shadows"] = False
+    if args.no_reflections:
+        overrides["enable_reflections"] = False
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = resolve_config(args)
+
+    from vkrt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from vkrt_tpu import config as C
+    from vkrt_tpu.app import framebuffer
+    from vkrt_tpu.app.camera import Camera
+    from vkrt_tpu.app.flythrough import camera_path
+    from vkrt_tpu.app.metrics import FrameTimer, check_finite, profile
+    from vkrt_tpu.wavefront.engine import Renderer
+
+    renderer = Renderer(args.scene, cfg, backend=args.backend,
+                        max_texture_dim=args.max_texture_dim)
+
+    if args.frames > 1:
+        cams = camera_path(cfg.width, cfg.height)
+    else:
+        cam = Camera(cfg.width, cfg.height)
+        cam.set_position(C.CAMERA_START_POSITION)
+        cam.set_rotation(C.CAMERA_START_ROTATION)
+        cams = iter([cam])
+
+    timer = FrameTimer()
+    fb = None
+    with profile(args.profile_dir):
+        for i in range(args.frames):
+            try:
+                cam = next(cams)
+            except StopIteration:
+                break
+            timer.begin()
+            fb, rays = renderer.render(cam)
+            stats = timer.end(rays)
+            if args.check_finite:
+                check_finite(fb, f"frame {i}")
+            if args.metrics:
+                print(f"frame {i}: {stats.frame_ms:.1f}ms "
+                      f"{stats.mrays_per_s:.2f} Mrays/s", file=sys.stderr)
+
+    if args.output and fb is not None:
+        if args.output.endswith(".npy"):
+            framebuffer.write_npy(args.output, fb)
+        else:
+            framebuffer.write_png(args.output, fb)
+        print(f"wrote {args.output}", file=sys.stderr)
+
+    if args.metrics:
+        print(json.dumps(timer.summary()))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

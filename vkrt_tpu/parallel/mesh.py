@@ -1,0 +1,79 @@
+"""Multi-chip scaling — rays sharded over a device mesh, scene replicated.
+
+The reference is strictly single-GPU (SURVEY.md §2: one VkDevice, one
+queue, no collectives). The TPU design scales the way the hardware wants:
+the ray wavefront is embarrassingly parallel, so frames shard over a 1-D
+`rays` mesh axis with `shard_map`; the scene (cluster tree + texture
+heap, ~0.5GB) is replicated per chip, and the only cross-chip traffic is
+the framebuffer gather on the host fetch — riding ICI, no DCN (the v5e-8
+target from BASELINE.json).
+
+No NCCL/MPI analogue exists or is needed: XLA inserts the collective for
+the sharded→replicated output transition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vkrt_tpu import config as C
+from vkrt_tpu.wavefront import engine
+
+
+def make_mesh(devices=None, axis: str = "rays") -> Mesh:
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    # check_vma off: the per-device body initializes loop carries from
+    # replicated zeros, which trips the varying-axes checker even though
+    # no cross-device communication exists inside the body.
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):  # older jax spellings
+        from jax.experimental.shard_map import shard_map
+        try:
+            return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+        except TypeError:
+            return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_rep=False)
+
+
+def render_frame_sharded(backend, tex, proj_inverse, view_inverse, lights,
+                         cfg: C.RenderConfig, mesh: Mesh,
+                         interpret: bool = False):
+    """Distributed render_frame: identical output, rays split across chips."""
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    wp, hp = engine._pad_dims(cfg.width, cfg.height)
+
+    origins, dirs = engine.camera_ray_blocks(proj_inverse, view_inverse, cfg)
+    n = origins.shape[0]
+    # pad so each device gets a whole number of trace blocks
+    chunk = -(-n // (n_dev * 512)) * 512
+    pad = chunk * n_dev - n
+    origins = jnp.pad(origins, ((0, pad), (0, 0)),
+                      constant_values=engine.FAR_SENTINEL)
+    dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+    dirs = engine.shading.safe_normalize(dirs)
+
+    rounds = functools.partial(engine.wavefront_rounds, cfg=cfg,
+                               interpret=interpret)
+    fn = _shard_map(
+        lambda be, tx, o, d, li: rounds(be, tx, o, d, li),
+        mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis, None), P()),
+        out_specs=(P(axis, None), P(axis)),
+    )
+    accum, ray_count = fn(backend, tex, origins, dirs, lights)
+    accum = accum[:n]
+    fb = engine.untile(accum, hp, wp)[: cfg.height, : cfg.width]
+    return fb, ray_count[:n]

@@ -173,11 +173,11 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
             u_out[:] = jnp.where(better, u_sel, u_out[:])
             v_out[:] = jnp.where(better, v_sel, v_out[:])
             if with_attributes:
-                for r in range(9, 36):
+                for r in range(0, 36):
                     a_sel = jnp.sum(jnp.where(onehot, chunk[r:r + 1, :], 0.0),
                                     axis=1, keepdims=True)
-                    attr_out[:, r - 9:r - 8] = jnp.where(
-                        better, a_sel, attr_out[:, r - 9:r - 8])
+                    attr_out[:, r:r + 1] = jnp.where(
+                        better, a_sel, attr_out[:, r:r + 1])
 
     # One dense pass over ALL supercluster boxes → scalar bitmask. This is
     # the coarse (t-unaware) cull; the per-supercluster recheck in sc_body
@@ -243,7 +243,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
 
     origins/dirs: f32[N,3] (N must be a multiple of `block`; the wavefront
     engine pads + orders rays into coherent blocks). tmax: f32[N].
-    Returns (t, slot, u, v[, attrs f32[N,27]]); slot = -1 on miss, else an
+    Returns (t, slot, u, v[, attrs f32[N,36]]); slot = -1 on miss, else an
     index into leaf order (tree.leaf_tri maps to original triangle ids).
     """
     N = origins.shape[0]
@@ -283,10 +283,10 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
         jax.ShapeDtypeStruct((N, 1), jnp.int32),     # slot
         jax.ShapeDtypeStruct((N, 1), jnp.float32),   # u
         jax.ShapeDtypeStruct((N, 1), jnp.float32),   # v
-        jax.ShapeDtypeStruct((N, 27 if with_attributes else 1), jnp.float32),
+        jax.ShapeDtypeStruct((N, 36 if with_attributes else 1), jnp.float32),
         jax.ShapeDtypeStruct((nblocks, 1, 128), jnp.int32),   # stats
     ]
-    attr_cols = 27 if with_attributes else 1
+    attr_cols = 36 if with_attributes else 1
     out_specs = [
         pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
