@@ -102,14 +102,18 @@ def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
     if aabb is None:
         c = np.asarray(v0) + (np.asarray(e1) + np.asarray(e2)) / 3.0
         aabb = (c.min(axis=0), c.max(axis=0))
-    lo = jnp.asarray(aabb[0], jnp.float32)
-    hi = jnp.asarray(aabb[1], jnp.float32)
     if device:
+        lo = jnp.asarray(aabb[0], jnp.float32)
+        hi = jnp.asarray(aabb[1], jnp.float32)
         order = _argsort(_morton_keys(v0, e1, e2, lo, hi))
-    else:
-        codes = np.asarray(_morton_keys(v0, e1, e2, lo, hi))
-        order = jnp.asarray(np.argsort(codes, kind="stable").astype(np.int32))
-    return _assemble(v0, e1, e2, order, attrs, with_attributes)
+        return _assemble(v0, e1, e2, order, attrs, with_attributes)
+    # host path: zero compile cost — numpy morton/sort/assembly, one
+    # device_put of the finished tree
+    codes = _morton_host(np.asarray(v0), np.asarray(e1), np.asarray(e2),
+                         np.asarray(aabb[0]), np.asarray(aabb[1]))
+    order = np.argsort(codes, kind="stable").astype(np.int32)
+    return _assemble_host(np.asarray(v0), np.asarray(e1), np.asarray(e2),
+                          order, attrs, with_attributes)
 
 
 @partial(jax.jit, static_argnames=("with_attributes",))
@@ -178,6 +182,87 @@ def _assemble(v0, e1, e2, order, attrs=None, with_attributes: bool = False) -> C
 
     return ClusterTree(sc_boxes=sc_boxes, cl_boxes=cl_boxes,
                        tri_data=tri_data, leaf_tri=leaf_tri)
+
+
+def _morton_host(v0, e1, e2, lo, hi):
+    """numpy twin of _morton_keys (identical quantization/interleave)."""
+    import numpy as np
+
+    def expand(v):
+        v = v.astype(np.int32)
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    centroid = v0 + (e1 + e2) / np.float32(3.0)
+    extent = np.maximum(hi - lo, 1e-12).astype(np.float32)
+    q = np.clip((centroid - lo) / extent * 1024.0, 0.0, 1023.0).astype(np.int32)
+    return (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(q[:, 2])
+
+
+def _assemble_host(v0, e1, e2, order, attrs=None,
+                   with_attributes: bool = False) -> ClusterTree:
+    """numpy twin of _assemble (bit-identical layout, no XLA compile)."""
+    import numpy as np
+
+    T = v0.shape[0]
+    Tp = -(-T // K1) * K1
+    C1 = Tp // K1
+    C1p = -(-C1 // K2) * K2
+    C2 = C1p // K2
+
+    def pad(x, n, fill=0.0):
+        if n <= x.shape[0]:
+            return x
+        return np.concatenate(
+            [x, np.full((n - x.shape[0],) + x.shape[1:], fill, x.dtype)])
+
+    sv0 = pad(v0[order], Tp)
+    se1 = pad(e1[order], Tp)
+    se2 = pad(e2[order], Tp)
+    leaf_tri = pad(order.astype(np.int32), Tp, fill=-1)
+
+    valid = (np.arange(Tp) < T)[:, None]
+    lmin = np.where(valid, np.minimum(np.minimum(sv0, sv0 + se1), sv0 + se2), _INF)
+    lmax = np.where(valid, np.maximum(np.maximum(sv0, sv0 + se1), sv0 + se2), -_INF)
+
+    cl_min = pad(lmin.reshape(C1, K1, 3).min(axis=1).astype(np.float32), C1p, _INF)
+    cl_max = pad(lmax.reshape(C1, K1, 3).max(axis=1).astype(np.float32), C1p, -_INF)
+    sc_min = cl_min.reshape(C2, K2, 3).min(axis=1)
+    sc_max = cl_max.reshape(C2, K2, 3).max(axis=1)
+
+    C2p = max(128, -(-C2 // 128) * 128)
+    sc_boxes = np.full((8, C2p), _INF, np.float32)
+    sc_boxes[3:6, :] = -_INF
+    sc_boxes[0:3, :C2] = sc_min.T
+    sc_boxes[3:6, :C2] = sc_max.T
+
+    cl_boxes = np.zeros((C2, 8, K2), np.float32)
+    cl_boxes[:, 0:3, :] = cl_min.reshape(C2, K2, 3).transpose(0, 2, 1)
+    cl_boxes[:, 3:6, :] = cl_max.reshape(C2, K2, 3).transpose(0, 2, 1)
+
+    def lanes(x):
+        return x.reshape(C1, K1, -1).transpose(0, 2, 1).astype(np.float32)
+
+    rows = [lanes(sv0), lanes(se1), lanes(se2)]
+    if with_attributes:
+        a = {k: np.asarray(x) for k, x in attrs.items()}
+        for key in ("n0", "n1", "n2", "uv0", "uv1", "uv2", "t0", "t1", "t2"):
+            rows.append(lanes(pad(a[key][order], Tp)))
+        rows.append(lanes(pad(a["mat"][order].astype(np.float32), Tp)))
+    tri_data = np.concatenate(rows, axis=1)
+    if tri_data.shape[1] < ROWS:
+        tri_data = np.concatenate(
+            [tri_data, np.zeros((C1, ROWS - tri_data.shape[1], K1), np.float32)],
+            axis=1)
+    tri_data = pad(tri_data, C1p)
+
+    return ClusterTree(sc_boxes=jnp.asarray(sc_boxes),
+                       cl_boxes=jnp.asarray(cl_boxes),
+                       tri_data=jnp.asarray(tri_data),
+                       leaf_tri=jnp.asarray(leaf_tri))
 
 
 def scene_attrs(flat) -> dict:

@@ -1,0 +1,81 @@
+"""Per-frame acceleration-structure update (BASELINE config 5).
+
+The reference builds its BLAS/TLAS once at startup (driver build,
+ref: src/Raytracer.cpp:1027-1283); the stress benchmark config instead
+demands a per-frame update. Two device paths:
+
+  * refit_clusters — topology (Morton order, cluster assignment) is kept;
+    an affine instance transform (the TLAS-instance analogue,
+    ref: src/Raytracer.cpp:1165-1177) is applied to the packed geometry
+    rows and all AABBs are recomputed with dense reshaped reductions.
+    No gathers, fully jitted — the fast per-frame path.
+  * build_clusters(device=True) — full rebuild including the on-device
+    Morton re-sort, for when geometry deforms enough that the cached
+    topology degrades.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vkrt_tpu.accel.clusters import K1, K2, ClusterTree
+
+_INF = 3.0e38
+
+
+@jax.jit
+def refit_clusters(tree: ClusterTree, matrix: jnp.ndarray) -> ClusterTree:
+    """Apply a 4x4 affine transform to the tree geometry and refit AABBs."""
+    a = matrix[:3, :3]
+    b = matrix[:3, 3]
+
+    td = tree.tri_data                       # [C1p, ROWS, K1]
+    c1p = td.shape[0]
+
+    def rows3(r):
+        return td[:, r:r + 3, :]             # [C1p, 3, K1]
+
+    def xform(x, translate):
+        y = jnp.einsum("ij,cjk->cik", a, x)
+        if translate:
+            y = y + b[None, :, None]
+        return y
+
+    v0 = xform(rows3(0), True)
+    e1 = xform(rows3(3), False)
+    e2 = xform(rows3(6), False)
+    td = jnp.concatenate([v0, e1, e2, td[:, 9:, :]], axis=1)
+
+    # leaf AABBs (padding slots neutralized via leaf_tri < 0)
+    p0 = v0
+    p1 = v0 + e1
+    p2 = v0 + e2
+    lmin = jnp.minimum(jnp.minimum(p0, p1), p2)   # [C1p,3,K1]
+    lmax = jnp.maximum(jnp.maximum(p0, p1), p2)
+    valid = (tree.leaf_tri >= 0).reshape(-1, K1)  # [C1,K1] over real clusters
+    c1 = valid.shape[0]
+    validp = jnp.pad(valid, ((0, c1p - c1), (0, 0)))[:, None, :]
+    lmin = jnp.where(validp, lmin, _INF)
+    lmax = jnp.where(validp, lmax, -_INF)
+
+    cl_min = lmin.min(axis=2)                 # [C1p,3]
+    cl_max = lmax.max(axis=2)
+
+    c2 = tree.cl_boxes.shape[0]
+    cl_boxes = jnp.zeros((c2, 8, K2), jnp.float32)
+    cl_boxes = cl_boxes.at[:, 0:3, :].set(
+        cl_min.reshape(c2, K2, 3).transpose(0, 2, 1))
+    cl_boxes = cl_boxes.at[:, 3:6, :].set(
+        cl_max.reshape(c2, K2, 3).transpose(0, 2, 1))
+
+    sc_min = cl_min.reshape(c2, K2, 3).min(axis=1)
+    sc_max = cl_max.reshape(c2, K2, 3).max(axis=1)
+    c2p = tree.sc_boxes.shape[1]
+    sc_boxes = jnp.full((8, c2p), _INF, jnp.float32)
+    sc_boxes = sc_boxes.at[3:6, :].set(-_INF)
+    sc_boxes = sc_boxes.at[0:3, :c2].set(sc_min.T)
+    sc_boxes = sc_boxes.at[3:6, :c2].set(sc_max.T)
+
+    return ClusterTree(sc_boxes=sc_boxes, cl_boxes=cl_boxes,
+                       tri_data=td, leaf_tri=tree.leaf_tri)

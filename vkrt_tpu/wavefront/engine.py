@@ -245,8 +245,18 @@ class Renderer:
         self._frame = jax.jit(functools.partial(
             render_frame, cfg=cfg, interpret=interpret))
 
-    def render(self, camera):
-        fb, rays = self._frame(self.backend, self.tex,
+    def render(self, camera, transform=None):
+        """Render a frame. `transform` (4x4, TLAS-instance analogue) —
+        or cfg.rebuild_per_frame — triggers the per-frame accel update
+        (BASELINE config 5: dense refit, ref driver rebuild at
+        src/Raytracer.cpp:1146-1280)."""
+        backend = self.backend
+        if (self.cfg.rebuild_per_frame or transform is not None) and \
+                isinstance(backend, DenseBackend):
+            from vkrt_tpu.accel.refit import refit_clusters
+            m = jnp.eye(4) if transform is None else jnp.asarray(transform, jnp.float32)
+            backend = DenseBackend(tree=refit_clusters(backend.tree, m))
+        fb, rays = self._frame(backend, self.tex,
                                jnp.asarray(camera.proj_inverse),
                                jnp.asarray(camera.view_inverse),
                                self.lights)
