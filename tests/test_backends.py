@@ -25,7 +25,7 @@ def scene(sponza_model):
     flat = flatten_model(model)
     heap = build_texture_heap(model.images)
     tex = TextureArrays(
-        texels=jnp.asarray(heap.texels),
+        texels_quad=jnp.asarray(heap.quad_texels()),
         level_offset=jnp.asarray(heap.level_offset),
         level_width=jnp.asarray(heap.level_width),
         level_height=jnp.asarray(heap.level_height),

@@ -7,7 +7,7 @@ import pytest
 from vkrt_tpu.accel.clusters import K1, K2, build_clusters
 from vkrt_tpu.golden.cpu_tracer import closest_hit as brute_closest
 from vkrt_tpu.golden.cpu_tracer import occluded as brute_occluded
-from vkrt_tpu.rt.dense import trace_dense
+from vkrt_tpu.rt.dense import trace_dense_rays as trace_dense
 
 
 @pytest.fixture(scope="module")

@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vkrt_tpu.accel import build_clusters, refit_clusters
-from vkrt_tpu.rt.dense import trace_dense
+from vkrt_tpu.rt.dense import trace_dense_rays as trace_dense
 
 
 def make(rng, n=500):

@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 
 import numpy as np
@@ -43,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", help="write a jax.profiler trace here")
     p.add_argument("--check-finite", action="store_true",
                    help="NaN/Inf sentinel on every frame")
+    p.add_argument("--checkpoint",
+                   help="checkpoint path: saved every frame; resumes if present")
+    p.add_argument("--raster", action="store_true",
+                   help="use the classic raster pipeline instead of RT")
+    p.add_argument("--msaa", type=int, default=8, choices=[1, 8],
+                   help="raster-path MSAA sample count")
     return p
 
 
@@ -77,10 +84,22 @@ def main(argv=None) -> int:
     from vkrt_tpu.app.camera import Camera
     from vkrt_tpu.app.flythrough import camera_path
     from vkrt_tpu.app.metrics import FrameTimer, check_finite, profile
-    from vkrt_tpu.wavefront.engine import Renderer
+    from vkrt_tpu.app.state import load_state, save_state
 
-    renderer = Renderer(args.scene, cfg, backend=args.backend,
-                        max_texture_dim=args.max_texture_dim)
+    if args.raster:
+        from vkrt_tpu.raster import Rasterizer
+        renderer = Rasterizer(args.scene, cfg, backend=args.backend,
+                              max_texture_dim=args.max_texture_dim,
+                              msaa=args.msaa)
+    else:
+        from vkrt_tpu.wavefront.engine import Renderer
+        renderer = Renderer(args.scene, cfg, backend=args.backend,
+                            max_texture_dim=args.max_texture_dim)
+
+    start_frame = 0
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        _, resume_cam, start_frame, _ = load_state(args.checkpoint)
+        print(f"resuming at frame {start_frame}", file=sys.stderr)
 
     if args.frames > 1:
         cams = camera_path(cfg.width, cfg.height)
@@ -98,11 +117,19 @@ def main(argv=None) -> int:
                 cam = next(cams)
             except StopIteration:
                 break
+            if i < start_frame:
+                continue  # fast-forward a resumed fly-through
             timer.begin()
-            fb, rays = renderer.render(cam)
+            if args.raster:
+                fb = renderer.render(cam)
+                rays = cfg.num_pixels * args.msaa
+            else:
+                fb, rays = renderer.render(cam)
             stats = timer.end(rays)
             if args.check_finite:
                 check_finite(fb, f"frame {i}")
+            if args.checkpoint:
+                save_state(args.checkpoint, cfg, cam, i + 1)
             if args.metrics:
                 print(f"frame {i}: {stats.frame_ms:.1f}ms "
                       f"{stats.mrays_per_s:.2f} Mrays/s", file=sys.stderr)

@@ -50,30 +50,33 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 def render_frame_sharded(backend, tex, proj_inverse, view_inverse, lights,
                          cfg: C.RenderConfig, mesh: Mesh,
                          interpret: bool = False):
-    """Distributed render_frame: identical output, rays split across chips."""
+    """Distributed render_frame: identical output, rays split across chips.
+
+    Lane-major wavefront [3, Nb, 128] shards along the block axis Nb."""
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
     wp, hp = engine._pad_dims(cfg.width, cfg.height)
 
     origins, dirs = engine.camera_ray_blocks(proj_inverse, view_inverse, cfg)
-    n = origins.shape[0]
-    # pad so each device gets a whole number of trace blocks
-    chunk = -(-n // (n_dev * 512)) * 512
-    pad = chunk * n_dev - n
-    origins = jnp.pad(origins, ((0, pad), (0, 0)),
+    nb = origins.shape[1]
+    # pad so each device gets a whole number of 512-ray trace blocks
+    per_dev = -(-nb // (n_dev * 4)) * 4            # 4 groups of 128 = 512
+    pad = per_dev * n_dev - nb
+    origins = jnp.pad(origins, ((0, 0), (0, pad), (0, 0)),
                       constant_values=engine.FAR_SENTINEL)
-    dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
-    dirs = engine.shading.safe_normalize(dirs)
+    dirs = jnp.pad(dirs, ((0, 0), (0, pad), (0, 0)), constant_values=1.0)
+    dirs = engine.L.normalize3(dirs)
 
     rounds = functools.partial(engine.wavefront_rounds, cfg=cfg,
                                interpret=interpret)
     fn = _shard_map(
         lambda be, tx, o, d, li: rounds(be, tx, o, d, li),
         mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis, None), P()),
-        out_specs=(P(axis, None), P(axis)),
+        in_specs=(P(), P(), P(None, axis, None), P(None, axis, None), P()),
+        out_specs=(P(None, axis, None), P(axis, None)),
     )
     accum, ray_count = fn(backend, tex, origins, dirs, lights)
-    accum = accum[:n]
-    fb = engine.untile(accum, hp, wp)[: cfg.height, : cfg.width]
-    return fb, ray_count[:n]
+    accum = accum[:, :nb]
+    fb = jnp.stack([engine.untile(accum[k], hp, wp)[: cfg.height, : cfg.width]
+                    for k in range(3)], axis=-1)
+    return fb, ray_count[:nb]

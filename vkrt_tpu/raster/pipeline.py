@@ -51,55 +51,44 @@ MSAA8 = np.array([
 ], dtype=np.float32)
 
 
-def generate_rays_offset(proj_inverse, view_inverse, width, height, off_x, off_y):
-    """Camera rays through (x+off_x, y+off_y) — subpixel MSAA positions."""
-    xs = (jnp.arange(width, dtype=jnp.float32) + off_x) / width * 2.0 - 1.0
-    ys = (jnp.arange(height, dtype=jnp.float32) + off_y) / height * 2.0 - 1.0
-    gx, gy = jnp.meshgrid(xs, ys)
-    target = (proj_inverse[:3, 0][None, None] * gx[..., None]
-              + proj_inverse[:3, 1][None, None] * gy[..., None]
-              + proj_inverse[:3, 2][None, None]
-              + proj_inverse[:3, 3][None, None])
-    d_view = shading.safe_normalize(target)
-    dirs = d_view @ view_inverse[:3, :3].T
-    origins = jnp.broadcast_to(view_inverse[:3, 3], dirs.shape)
-    return origins, dirs
-
-
 def _visibility_sample(backend, tex, proj_inverse, view_inverse,
                        cfg: C.RenderConfig, off, interpret: bool):
     """One MSAA sample pass: unlit color with alpha-discard continuation."""
-    wp, hp = engine._pad_dims(cfg.width, cfg.height)
-    o_img, d_img = generate_rays_offset(proj_inverse, view_inverse,
-                                        cfg.width, cfg.height, off[0], off[1])
-    o_img = jnp.pad(o_img, ((0, hp - cfg.height), (0, wp - cfg.width), (0, 0)),
-                    constant_values=engine.FAR_SENTINEL)
-    d_img = jnp.pad(d_img, ((0, hp - cfg.height), (0, wp - cfg.width), (0, 0)),
-                    constant_values=1.0)
-    origins = engine.tile(o_img)
-    dirs = shading.safe_normalize(engine.tile(d_img))
-    n = origins.shape[0]
+    from vkrt_tpu.utils import layout as L
 
-    color = jnp.broadcast_to(jnp.asarray(CLEAR_COLOR), (n, 3))
-    live = jnp.ones(n, dtype=bool)     # still needs a surface
+    wp, hp = engine._pad_dims(cfg.width, cfg.height)
+    o, d = engine.generate_rays(proj_inverse, view_inverse,
+                                cfg.width, cfg.height, off=tuple(off))
+    origins = jnp.stack([engine.tile(engine._pad_grid(c, wp, hp,
+                                                      engine.FAR_SENTINEL))
+                         for c in o])
+    dirs = L.normalize3(jnp.stack(
+        [engine.tile(engine._pad_grid(c, wp, hp, 1.0)) for c in d]))
+    shape = origins.shape[1:]
+
+    color = jnp.broadcast_to(jnp.asarray(CLEAR_COLOR)[:, None, None],
+                             (3,) + shape)
+    live = jnp.ones(shape, dtype=bool)     # still needs a surface
 
     for _round in range(MAX_DISCARD_ROUNDS):
-        to = jnp.where(live[:, None], origins, engine.FAR_SENTINEL)
-        tmax = jnp.full(n, C.RAY_TMAX, jnp.float32)
+        to = L.where3(live, origins, jnp.full_like(origins, engine.FAR_SENTINEL))
+        tmax = jnp.full(shape, C.RAY_TMAX, jnp.float32)
         t, u, v, attrs, hitm = backend.closest(to, dirs, tmax,
                                                interpret=interpret)
         hit = hitm & live
         pos, _, uv, _, mat_ids = shading.interpolate(attrs, u, v)
-        texel = sample_bilinear(tex.texels, tex.level_offset, tex.level_width,
-                                tex.level_height, mat_ids[:, 0], uv)
-        opaque = hit & (texel[:, 3] >= ALPHA_DISCARD)
+        texel = sample_bilinear(tex.texels_quad, tex.level_offset,
+                                tex.level_width, tex.level_height,
+                                mat_ids[0], uv)
+        opaque = hit & (texel[3] >= ALPHA_DISCARD)
         discarded = hit & ~opaque
-        color = jnp.where(opaque[:, None], texel[:, :3], color)
+        color = L.where3(opaque, texel[:3], color)
         # discarded fragments: continue behind the surface (fragment kill)
-        origins = jnp.where(discarded[:, None], pos + dirs * 1e-4, origins)
+        origins = L.where3(discarded, pos + dirs * 1e-4, origins)
         live = discarded
 
-    return engine.untile(color, hp, wp)[: cfg.height, : cfg.width]
+    return jnp.stack([engine.untile(color[k], hp, wp)[: cfg.height, : cfg.width]
+                      for k in range(3)], axis=-1)
 
 
 def render_raster_frame(backend, tex, proj_inverse, view_inverse,
@@ -123,21 +112,11 @@ class Rasterizer:
     def __init__(self, model_path: str, cfg: C.RenderConfig,
                  backend: str = "dense", max_texture_dim: int = 0,
                  msaa: int = 8, interpret: bool = False):
-        from vkrt_tpu.scene import (build_texture_heap, flatten_model,
-                                    load_model)
         self.cfg = cfg
         self.msaa = msaa
         self.interpret = interpret
-        model = load_model(model_path, max_texture_dim=max_texture_dim)
-        self.flat = flatten_model(model)
-        heap = build_texture_heap(model.images)
-        self.tex = engine.TextureArrays(
-            texels=jnp.asarray(heap.texels),
-            level_offset=jnp.asarray(heap.level_offset),
-            level_width=jnp.asarray(heap.level_width),
-            level_height=jnp.asarray(heap.level_height),
-        )
-        self.backend = engine.make_backend(self.flat, backend)
+        self.flat, self.tex, self.backend = engine.cached_backend(
+            model_path, max_texture_dim, backend)
         self._frame = jax.jit(functools.partial(
             render_raster_frame, cfg=cfg, msaa=msaa, interpret=interpret))
         self._timer = None

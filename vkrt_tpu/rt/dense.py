@@ -12,30 +12,27 @@ So rays never chase pointers. Instead, a grid of coherent ray blocks
 (one Pallas program per block of R rays) streams the scene through VMEM:
 
   phase 1  all supercluster AABBs (VMEM-resident) tested densely against
-           the block [R, C2]; OR-reduced over rays → per-supercluster
-           block gate (scalar).
-  phase 2  for each gated supercluster: DMA its 64 packed cluster slabs
-           HBM→VMEM (~1.3MB, double-buffered across gates), dense-test its
-           cluster AABBs [R, 64], OR-reduce → per-cluster gates.
+           the block; OR-reduced over rays → scalar bitmask gates; gated
+           ids collected into an SMEM list in per-block front-to-back
+           order (precomputed in the XLA prologue).
+  phase 2  the gated list is walked with double-buffered DMA (slab i+1
+           in flight while slab i computes); per supercluster, its 64
+           cluster AABBs are dense-tested → cluster bitmask; a t-aware
+           recheck implements block-level early termination.
   phase 3  for each gated cluster: Möller–Trumbore of all R rays against
-           its 128 triangles [R, 128] in one shot on the VPU; the best
-           hit per ray is committed with masked lane reductions (min-t,
-           tie-broken by lane) — no gather anywhere.
+           its 128 triangles [R, 128] in one VPU sweep; best hits (and,
+           with `with_attributes`, all 36 per-corner shading attributes)
+           are committed with masked lane reductions — no gather anywhere.
 
-Skipping happens at BLOCK granularity (a supercluster/cluster is skipped
-iff no ray in the block can hit it), so the engine feeds spatially
-coherent blocks: primary rays come tiled, secondary rays pixel-ordered.
+I/O uses lane-major layouts ([3, Nb, 128] vectors / [Nb, 128] scalars,
+see utils/layout.py): narrow [N,1]/[N,3] shapes pad 42-128x under TPU
+(8,128) tiling — gigabytes of HBM and the same factor of bandwidth at
+1080p. DMA start/wait pairing is deterministic (depends only on list
+bounds): a started-but-unwaited prefetch wedges the core.
 
 Closest-hit and occlusion variants mirror the reference's two trace
 flavors (shader.rgen:51-62 vs shader.rchit:113-116). The occlusion
-variant adds an any-ray-alive gate so fully blocked blocks stop streaming.
-
-With `with_attributes=True` the kernel also emits interpolated shading
-inputs (normal/uv/tangent/material ids, rows 9-35 of the cluster slab,
-see accel/clusters.py) selected by the same lane reductions — this fuses
-what the reference does at the top of the closest-hit shader
-(shader.rchit:88-108) into the trace, eliminating post-trace attribute
-gathers.
+variant adds an all-rays-blocked early-out on the triangle work.
 """
 
 from __future__ import annotations
@@ -52,6 +49,7 @@ from vkrt_tpu.accel.clusters import K1, K2, ROWS, ClusterTree
 TMIN = 0.001          # ref: shaders/shader.rgen:59
 _INF = 3.0e38
 _DET_EPS = 1e-12
+LANES = 128
 
 
 def _safe_inv(x):
@@ -60,25 +58,36 @@ def _safe_inv(x):
 
 
 def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
-                  # outputs
+                  # outputs (lane-major)
                   t_out, slot_out, u_out, v_out, attr_out, stats_out,
                   # scratch
-                  tris, sem, counters,
+                  tris, sem, gated, counters,
+                  t_s, slot_s, u_s, v_s, attr_s,
                   *, n_sc: int, occlusion: bool, with_attributes: bool,
                   stats: bool):
-    R = o_ref.shape[0]
+    G = o_ref.shape[2]            # ray groups of 128 lanes
+    R = G * LANES
 
-    ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]   # [R,1]
-    dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
+    def to_sublanes(rows):        # [G,128] lane-major → [R,1] sublane-major
+        # Mosaic rejects the direct (G,128)->(R,1) shape cast; per-group
+        # (1,128)->(128,1) transposes are supported.
+        return jnp.concatenate(
+            [jnp.swapaxes(rows[g:g + 1, :], 0, 1) for g in range(G)], axis=0)
+
+    def col(ref, c):
+        return to_sublanes(ref[c, 0])
+
+    ox, oy, oz = col(o_ref, 0), col(o_ref, 1), col(o_ref, 2)
+    dx, dy, dz = col(d_ref, 0), col(d_ref, 1), col(d_ref, 2)
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-    tmax = tmax_ref[:, 0:1]
+    tmax = to_sublanes(tmax_ref[0])
 
-    t_out[:] = tmax
-    slot_out[:] = jnp.full((R, 1), -1, jnp.int32)
-    u_out[:] = jnp.zeros((R, 1), jnp.float32)
-    v_out[:] = jnp.zeros((R, 1), jnp.float32)
+    t_s[:] = tmax
+    slot_s[:] = jnp.full((R, 1), -1, jnp.int32)
+    u_s[:] = jnp.zeros((R, 1), jnp.float32)
+    v_s[:] = jnp.zeros((R, 1), jnp.float32)
     if with_attributes:
-        attr_out[:] = jnp.zeros_like(attr_out)
+        attr_s[:] = jnp.zeros_like(attr_s)
     if stats:
         counters[0] = 0
         counters[1] = 0
@@ -95,7 +104,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                          jnp.minimum(t0z, t1z))
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
-        hit = (tn <= tf) & (tf >= TMIN) & (tn <= t_out[:])
+        hit = (tn <= tf) & (tf >= TMIN) & (tn <= t_s[:])
         return jnp.any(hit, axis=0, keepdims=True)
 
     def hit_bitmask(hits):
@@ -115,7 +124,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     sc_iota = jax.lax.broadcasted_iota(jnp.int32, (1, sc_ref.shape[1]), 1)
 
     def sc_gate(s):
-        """Recompute the supercluster-s gate against the CURRENT t_out.
+        """Recompute the supercluster-s gate against the CURRENT t_s.
 
         Mosaic cannot scalar-read VMEM at a dynamic lane, so the 6 box
         components are extracted with iota-compare masked reductions.
@@ -132,11 +141,12 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                          jnp.minimum(t0z, t1z))
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
-        return jnp.any((tn <= tf) & (tf >= TMIN) & (tn <= t_out[:]))
+        return jnp.any((tn <= tf) & (tf >= TMIN) & (tn <= t_s[:]))
 
-    def tri_block(c, base_slot):
-        """Möller–Trumbore: all R rays vs the 128 tris of VMEM cluster c."""
-        chunk = tris[c]                       # [ROWS, K1]
+    def tri_block_slot(slot, c, base_slot):
+        """Möller–Trumbore: all R rays vs the 128 tris of VMEM cluster c
+        in double-buffer slab `slot`."""
+        chunk = tris[slot, c]                 # [ROWS, K1]
         v0x, v0y, v0z = chunk[0:1, :], chunk[1:2, :], chunk[2:3, :]
         e1x, e1y, e1z = chunk[3:4, :], chunk[4:5, :], chunk[5:6, :]
         e2x, e2y, e2z = chunk[6:7, :], chunk[7:8, :], chunk[8:9, :]
@@ -155,10 +165,19 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         vv = (dx * qx + dy * qy + dz * qz) * inv_det
         tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
         ok = ((jnp.abs(det) > _DET_EPS) & (uu >= 0) & (vv >= 0)
-              & (uu + vv <= 1) & (tt > TMIN) & (tt < t_out[:]))
+              & (uu + vv <= 1) & (tt > TMIN) & (tt < t_s[:]))
+
+        if occlusion:
+            # any-hit semantics: no lane select, no attrs — just mark
+            anyhit = jnp.any(ok, axis=1, keepdims=True)   # [R,1]
+            @pl.when(jnp.any(anyhit))
+            def _():
+                slot_s[:] = jnp.where(anyhit, 1, slot_s[:])
+                t_s[:] = jnp.where(anyhit, TMIN, t_s[:])  # culls later gates
+            return
 
         tm = jnp.min(jnp.where(ok, tt, _INF), axis=1, keepdims=True)  # [R,1]
-        better = tm < t_out[:]
+        better = tm < t_s[:]
 
         @pl.when(jnp.any(better))
         def _():
@@ -168,49 +187,78 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
             onehot = lanes == lane_sel        # [R,K1], exactly one lane where better
             u_sel = jnp.sum(jnp.where(onehot, uu, 0.0), axis=1, keepdims=True)
             v_sel = jnp.sum(jnp.where(onehot, vv, 0.0), axis=1, keepdims=True)
-            t_out[:] = jnp.where(better, tm, t_out[:])
-            slot_out[:] = jnp.where(better, base_slot * K1 + lane_sel, slot_out[:])
-            u_out[:] = jnp.where(better, u_sel, u_out[:])
-            v_out[:] = jnp.where(better, v_sel, v_out[:])
+            t_s[:] = jnp.where(better, tm, t_s[:])
+            slot_s[:] = jnp.where(better, base_slot * K1 + lane_sel, slot_s[:])
+            u_s[:] = jnp.where(better, u_sel, u_s[:])
+            v_s[:] = jnp.where(better, v_sel, v_s[:])
             if with_attributes:
                 for r in range(0, 36):
                     a_sel = jnp.sum(jnp.where(onehot, chunk[r:r + 1, :], 0.0),
                                     axis=1, keepdims=True)
-                    attr_out[:, r:r + 1] = jnp.where(
-                        better, a_sel, attr_out[:, r:r + 1])
+                    attr_s[:, r:r + 1] = jnp.where(
+                        better, a_sel, attr_s[:, r:r + 1])
 
     # One dense pass over ALL supercluster boxes → scalar bitmask. This is
-    # the coarse (t-unaware) cull; the per-supercluster recheck in sc_body
-    # is what implements early termination as t_out shrinks.
+    # the coarse (t-unaware) cull; the per-supercluster recheck below
+    # implements early termination as t_s shrinks.
     sc_lo, sc_hi = hit_bitmask(
         slab_any(sc_ref[0:1, :], sc_ref[1:2, :], sc_ref[2:3, :],
                  sc_ref[3:4, :], sc_ref[4:5, :], sc_ref[5:6, :]))
 
-    def sc_body(k, _):
-        # Per-block front-to-back visit order (order_ref in SMEM) — with the
-        # t-culled recheck this gives block-level early termination: once
-        # every ray's best hit is nearer than a supercluster's entry, its
-        # gate fails and the tail is skipped.
+    # Prepass: collect coarsely-gated superclusters (in front-to-back visit
+    # order) into an SMEM list, so the main loop can double-buffer DMA —
+    # while supercluster i streams triangles through the VPU, supercluster
+    # i+1's slab is already in flight.
+    def pre_body(k, cnt):
         s = order_ref[0, 0, k]
-        coarse = (s >= 0) & test_bit(sc_lo, sc_hi, s)
-        if occlusion:
-            coarse = coarse & jnp.any(slot_out[:] < 0)
+        bit = (s >= 0) & test_bit(sc_lo, sc_hi, s)
 
-        @pl.when(coarse)
+        @pl.when(bit)
         def _():
-            # t-aware recheck only for coarsely-hit superclusters
-            @pl.when(sc_gate(s))
+            gated[cnt] = s
+        return cnt + bit.astype(jnp.int32)
+
+    count = jax.lax.fori_loop(0, n_sc, pre_body, jnp.int32(0))
+
+    def start_dma(i, slot):
+        s = gated[i]
+        return pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(s * K2, K2)], tris.at[slot], sem.at[slot])
+
+    @pl.when(count > 0)
+    def _():
+        start_dma(0, 0).start()
+
+    def sc_body(i, _):
+        # DMA start/wait pairing depends ONLY on `i < count` — it must be
+        # deterministic: skipping a wait for a started prefetch leaves the
+        # semaphore signaled into the next grid step and wedges the core.
+        # Early-termination conditions gate only the triangle work below.
+        @pl.when(i < count)
+        def _():
+            slot = jax.lax.rem(i, 2)
+            s = gated[i]
+
+            @pl.when(i + 1 < count)
+            def _():
+                start_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+            cb = cl_ref[s]                    # [8, K2]
+            cl_any = slab_any(cb[0:1, :], cb[1:2, :], cb[2:3, :],
+                              cb[3:4, :], cb[4:5, :], cb[5:6, :])
+            cl_lo, cl_hi = hit_bitmask(cl_any)
+            start_dma(i, slot).wait()
+
+            # t-aware recheck (early termination): the DMA may be wasted
+            # for a pruned supercluster, but it was overlapped anyway
+            work = sc_gate(s)
+            if occlusion:
+                work = work & jnp.any(slot_s[:] < 0)
+
+            @pl.when(work)
             def _():
                 if stats:
                     counters[0] = counters[0] + 1
-                dma = pltpu.make_async_copy(tri_hbm.at[pl.ds(s * K2, K2)], tris, sem)
-                dma.start()
-
-                cb = cl_ref[s]                    # [8, K2]
-                cl_any = slab_any(cb[0:1, :], cb[1:2, :], cb[2:3, :],
-                                  cb[3:4, :], cb[4:5, :], cb[5:6, :])
-                cl_lo, cl_hi = hit_bitmask(cl_any)
-                dma.wait()
 
                 def cl_body(c, _):
                     cgate = test_bit(cl_lo, cl_hi, c)
@@ -219,13 +267,22 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                     def _():
                         if stats:
                             counters[1] = counters[1] + 1
-                        tri_block(c, s * K2 + c)
+                        tri_block_slot(slot, c, s * K2 + c)
                     return 0
 
                 jax.lax.fori_loop(0, K2, cl_body, 0)
         return 0
 
     jax.lax.fori_loop(0, n_sc, sc_body, 0)
+
+    # write lane-major outputs (one relayout per output per block)
+    t_out[0] = t_s[:].reshape(G, LANES)
+    slot_out[0] = slot_s[:].reshape(G, LANES)
+    u_out[0] = u_s[:].reshape(G, LANES)
+    v_out[0] = v_s[:].reshape(G, LANES)
+    if with_attributes:
+        for r in range(36):
+            attr_out[r, 0] = attr_s[:, r:r + 1].reshape(G, LANES)
     if stats:
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
         stats_out[:] = jnp.where(lane128 == 0, counters[0],
@@ -239,15 +296,18 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                 block: int = 512, occlusion: bool = False,
                 with_attributes: bool = False, interpret: bool = False,
                 stats: bool = False):
-    """Trace rays against the cluster tree.
+    """Trace rays against the cluster tree (lane-major I/O).
 
-    origins/dirs: f32[N,3] (N must be a multiple of `block`; the wavefront
-    engine pads + orders rays into coherent blocks). tmax: f32[N].
-    Returns (t, slot, u, v[, attrs f32[N,36]]); slot = -1 on miss, else an
-    index into leaf order (tree.leaf_tri maps to original triangle ids).
+    origins/dirs: f32[3, Nb, 128]; tmax: f32[Nb, 128]. N = Nb*128 must be
+    a multiple of `block` (the wavefront engine pads + orders rays into
+    coherent blocks). Returns (t, slot, u, v[, attrs f32[36, Nb, 128]])
+    all [Nb, 128]; slot = -1 on miss (occlusion mode: >=0 means blocked),
+    else an index into leaf order (tree.leaf_tri maps to triangle ids).
     """
-    N = origins.shape[0]
+    nb = origins.shape[1]
+    N = nb * LANES
     assert N % block == 0, f"ray count {N} not a multiple of block {block}"
+    G = block // LANES
     n_sc = tree.num_superclusters
     assert n_sc <= 64, "bitmask gating supports at most 64 superclusters"
     c2p = tree.sc_boxes.shape[1]
@@ -255,21 +315,26 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
 
     # Per-block front-to-back supercluster visit order: entry distance of
     # each supercluster box along the block's mean ray. Cheap XLA prologue
-    # ([nblocks, n_sc] slab test + argsort) that unlocks early termination
-    # inside the kernel.
-    ob = origins.reshape(nblocks, block, 3).mean(axis=1)     # [nb,3]
-    db = dirs.reshape(nblocks, block, 3).mean(axis=1)
-    db = db / jnp.maximum(jnp.linalg.norm(db, axis=1, keepdims=True), 1e-12)
+    # that unlocks early termination inside the kernel.
+    ob = origins.reshape(3, nblocks, block).mean(axis=2)     # [3,nb]
+    db = dirs.reshape(3, nblocks, block).mean(axis=2)
+    db_n = jnp.sqrt(jnp.maximum(db[0] ** 2 + db[1] ** 2 + db[2] ** 2, 1e-24))
+    db = db / db_n[None]
     inv = 1.0 / jnp.where(jnp.abs(db) < 1e-12,
                           jnp.where(db < 0, -1e-12, 1e-12), db)
-    sc_min = tree.sc_boxes[0:3, :n_sc].T                     # [n_sc,3]
-    sc_max = tree.sc_boxes[3:6, :n_sc].T
-    t0 = (sc_min[None] - ob[:, None]) * inv[:, None]         # [nb,n_sc,3]
-    t1 = (sc_max[None] - ob[:, None]) * inv[:, None]
-    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    tn = None
+    tf = None
+    for a in range(3):
+        lo = tree.sc_boxes[a, :n_sc]                         # [n_sc]
+        hi = tree.sc_boxes[a + 3, :n_sc]
+        t0 = (lo[None, :] - ob[a][:, None]) * inv[a][:, None]  # [nb,n_sc]
+        t1 = (hi[None, :] - ob[a][:, None]) * inv[a][:, None]
+        lo_t = jnp.minimum(t0, t1)
+        hi_t = jnp.maximum(t0, t1)
+        tn = lo_t if tn is None else jnp.maximum(tn, lo_t)
+        tf = hi_t if tf is None else jnp.minimum(tf, hi_t)
     key = jnp.where(tn <= tf, jnp.maximum(tn, 0.0), jnp.inf)
-    sc_order = jnp.argsort(key, axis=1).astype(jnp.int32)    # [nb,n_sc]
+    sc_order = jnp.argsort(key, axis=1).astype(jnp.int32)    # [nblocks,n_sc]
     order_w = -(-n_sc // 64) * 64
     sc_order = jnp.concatenate(
         [sc_order, jnp.full((nblocks, order_w - n_sc), -1, jnp.int32)], axis=1)
@@ -278,31 +343,38 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     kernel = functools.partial(_trace_kernel, n_sc=n_sc, occlusion=occlusion,
                                with_attributes=with_attributes, stats=stats)
     grid = (nblocks,)
+    attr_rows = 36 if with_attributes else 1
+    # Mosaic requires block last-two dims divisible by (8,128) or equal to
+    # the array's — so per-ray data ships as [nblocks, G, 128] (block
+    # (1, G, 128)), a free reshape of the engine's [Nb, 128] layout.
+    o_k = origins.reshape(3, nblocks, G, LANES)
+    d_k = dirs.reshape(3, nblocks, G, LANES)
+    tmax_k = tmax.reshape(nblocks, G, LANES)
     out_shape = [
-        jax.ShapeDtypeStruct((N, 1), jnp.float32),   # t
-        jax.ShapeDtypeStruct((N, 1), jnp.int32),     # slot
-        jax.ShapeDtypeStruct((N, 1), jnp.float32),   # u
-        jax.ShapeDtypeStruct((N, 1), jnp.float32),   # v
-        jax.ShapeDtypeStruct((N, 36 if with_attributes else 1), jnp.float32),
+        jax.ShapeDtypeStruct((nblocks, G, LANES), jnp.float32),   # t
+        jax.ShapeDtypeStruct((nblocks, G, LANES), jnp.int32),     # slot
+        jax.ShapeDtypeStruct((nblocks, G, LANES), jnp.float32),   # u
+        jax.ShapeDtypeStruct((nblocks, G, LANES), jnp.float32),   # v
+        jax.ShapeDtypeStruct((attr_rows, nblocks, G, LANES), jnp.float32),
         jax.ShapeDtypeStruct((nblocks, 1, 128), jnp.int32),   # stats
     ]
-    attr_cols = 36 if with_attributes else 1
     out_specs = [
-        pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block, attr_cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((attr_rows, 1, G, LANES), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
     in_specs = [
         pl.BlockSpec((1, 1, order_w), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((8, c2p), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_sc, 8, K2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),        # tri_data stays in HBM
+        pl.BlockSpec((3, 1, G, LANES), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 1, G, LANES), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),        # tri_data stays in HBM
     ]
     t, slot, u, v, attrs, stat = pl.pallas_call(
         kernel,
@@ -311,21 +383,51 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((K2, ROWS, K1), jnp.float32),      # supercluster tri slab
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, K2, ROWS, K1), jnp.float32),   # double-buffered slabs
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((64,), jnp.int32),                # gated supercluster list
             pltpu.SMEM((2,), jnp.int32),                 # visit counters
+            pltpu.VMEM((block, 1), jnp.float32),          # t state
+            pltpu.VMEM((block, 1), jnp.int32),            # slot state
+            pltpu.VMEM((block, 1), jnp.float32),          # u state
+            pltpu.VMEM((block, 1), jnp.float32),          # v state
+            pltpu.VMEM((block, attr_rows), jnp.float32),  # attr state
         ],
         interpret=interpret,
-    )(sc_order, tree.sc_boxes, tree.cl_boxes, origins, dirs,
-      tmax.reshape(N, 1), tree.tri_data)
+    )(sc_order, tree.sc_boxes, tree.cl_boxes, o_k, d_k, tmax_k,
+      tree.tri_data)
 
-    t = t[:, 0]
-    slot = slot[:, 0]
+    t = t.reshape(nb, LANES)
+    slot = slot.reshape(nb, LANES)
+    u = u.reshape(nb, LANES)
+    v = v.reshape(nb, LANES)
+    attrs = attrs.reshape(attr_rows, nb, LANES)
+
     miss = slot < 0
     t = jnp.where(miss, jnp.inf, t)
-    out = [t, slot, u[:, 0], v[:, 0]]
+    out = [t, slot, u, v]
     if with_attributes:
         out.append(attrs)
     if stats:
         out.append(stat[:, 0, :2])
     return tuple(out)
+
+
+def trace_dense_rays(tree: ClusterTree, origins, dirs, tmax, **kw):
+    """Convenience wrapper over row-major rays ([N,3], [N]) — converts to
+    lane-major, traces, converts back. Test/tooling API; the engine uses
+    the lane-major form directly."""
+    from vkrt_tpu.utils import layout as L
+
+    out = trace_dense(tree, L.to_cvec(jnp.asarray(origins)),
+                      L.to_cvec(jnp.asarray(dirs)),
+                      L.to_lanes(jnp.asarray(tmax)), **kw)
+    flat = [L.from_lanes(out[0]), L.from_lanes(out[1]),
+            L.from_lanes(out[2]), L.from_lanes(out[3])]
+    rest = out[4:]
+    if kw.get("with_attributes"):
+        attrs = rest[0]
+        flat.append(jnp.moveaxis(attrs, 0, -1).reshape(-1, attrs.shape[0]))
+        rest = rest[1:]
+    flat.extend(rest)
+    return tuple(flat)

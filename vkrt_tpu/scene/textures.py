@@ -62,6 +62,37 @@ class TextureHeap:
     def num_images(self) -> int:
         return int(self.level_offset.shape[0])
 
+    def quad_texels(self) -> np.ndarray:
+        """u8[N,16]: for every texel (x,y), its bilinear 2x2 quad
+        [(x,y),(x+1,y),(x,y+1),(x+1,y+1)] with repeat wrap pre-applied.
+
+        One TPU gather fetches a whole bilinear footprint — measured
+        gathers cost ~34ns/row regardless of row width, so this turns 4
+        gathers per sample into 1 at 4x texel memory.
+        """
+        n = self.texels.shape[0]
+        idx = np.empty((n, 4), np.int32)
+        # group real levels by shape → one vectorized pass per distinct size
+        levels = {}
+        for i in range(self.level_offset.shape[0]):
+            for l in range(int(self.num_levels[i])):
+                off = int(self.level_offset[i, l])
+                w = int(self.level_width[i, l])
+                h = int(self.level_height[i, l])
+                levels.setdefault((w, h), []).append(off)
+        for (w, h), offs in levels.items():
+            yy, xx = np.divmod(np.arange(w * h, dtype=np.int32), w)
+            x1 = np.where(xx + 1 == w, 0, xx + 1)
+            y1 = np.where(yy + 1 == h, 0, yy + 1)
+            pat = np.stack([yy * w + xx, yy * w + x1,
+                            y1 * w + xx, y1 * w + x1], axis=1)   # [w*h,4]
+            offs_arr = np.asarray(offs, np.int32)[:, None, None]
+            block = (offs_arr + pat[None]).reshape(-1, 4)
+            dst = (offs_arr[:, 0, 0][:, None]
+                   + np.arange(w * h, dtype=np.int32)[None]).reshape(-1)
+            idx[dst] = block
+        return self.texels[idx].reshape(n, 16)
+
 
 def build_texture_heap(images: List[Image]) -> TextureHeap:
     if not images:

@@ -12,6 +12,11 @@ Shader-binding-table dispatch (ref: src/Raytracer.cpp:1469-1529) reduces
 to the trace-mode flag: closest-hit vs occlusion — the miss "shaders"
 (sky / not-shadowed) are where-selects on the miss mask.
 
+All per-ray state is LANE-MAJOR (utils/layout.py: [Nb,128] scalars,
+[3,Nb,128] vectors): narrow [N,1]/[N,3] arrays pad 42-128x under TPU
+(8,128) tiling — measured as gigabytes of padding and the dominant
+bandwidth cost of a frame before this layout.
+
 Rays are reordered into spatially coherent tiles (ty×tx pixels = one
 trace block) before tracing — the dense kernel's block-level skipping
 depends on it — and scattered back at the end. Dead rays park at a far
@@ -33,55 +38,64 @@ import jax.numpy as jnp
 import numpy as np
 
 from vkrt_tpu import config as C
-from vkrt_tpu.shade.sampling import sample_bilinear
 from vkrt_tpu.shade import shading
+from vkrt_tpu.shade.sampling import sample_bilinear
+from vkrt_tpu.utils import layout as L
 
 FAR_SENTINEL = 1.0e7
 TILE_Y, TILE_X = 16, 32           # 512 pixels = one dense-kernel block
 
 
 class TextureArrays(NamedTuple):
-    texels: jax.Array        # u8[N,4]
+    texels_quad: jax.Array   # u8[N,16] — per-texel bilinear quads
     level_offset: jax.Array  # i32[I,L]
     level_width: jax.Array   # i32[I,L]
     level_height: jax.Array  # i32[I,L]
 
 
-def generate_rays(proj_inverse, view_inverse, width: int, height: int):
-    """Camera ray generation (ref: shaders/shader.rgen:30-38)."""
-    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
+def generate_rays(proj_inverse, view_inverse, width: int, height: int,
+                  off=(0.5, 0.5)):
+    """Camera rays (ref: shaders/shader.rgen:30-38) as [H,W] component
+    grids: ((ox,oy,oz), (dx,dy,dz))."""
+    xs = (jnp.arange(width, dtype=jnp.float32) + off[0]) / width * 2.0 - 1.0
+    ys = (jnp.arange(height, dtype=jnp.float32) + off[1]) / height * 2.0 - 1.0
     gx, gy = jnp.meshgrid(xs, ys)
-    target = (proj_inverse[:3, 0][None, None] * gx[..., None]
-              + proj_inverse[:3, 1][None, None] * gy[..., None]
-              + proj_inverse[:3, 2][None, None]
-              + proj_inverse[:3, 3][None, None])
-    d_view = shading.safe_normalize(target)
-    dirs = d_view @ view_inverse[:3, :3].T
-    origin = view_inverse[:3, 3]
-    origins = jnp.broadcast_to(origin, dirs.shape)
-    return origins, dirs          # [H,W,3] each
+    tgt = [proj_inverse[k, 0] * gx + proj_inverse[k, 1] * gy
+           + proj_inverse[k, 2] + proj_inverse[k, 3] for k in range(3)]
+    n = jnp.sqrt(jnp.maximum(tgt[0] ** 2 + tgt[1] ** 2 + tgt[2] ** 2, 1e-24))
+    dv = [t / n for t in tgt]
+    d = [view_inverse[k, 0] * dv[0] + view_inverse[k, 1] * dv[1]
+         + view_inverse[k, 2] * dv[2] for k in range(3)]
+    o = [jnp.broadcast_to(view_inverse[k, 3], d[0].shape) for k in range(3)]
+    return o, d
 
 
 def tile(img, ty: int = TILE_Y, tx: int = TILE_X):
-    """[H,W,C] → [H*W,C] in tile-major order (H, W multiples of ty, tx)."""
-    h, w, c = img.shape
-    return (img.reshape(h // ty, ty, w // tx, tx, c)
-            .transpose(0, 2, 1, 3, 4).reshape(-1, c))
+    """[H,W] scalar grid → [Nb,128] lane-major, tile-major ray order."""
+    h, w = img.shape
+    flat = (img.reshape(h // ty, ty, w // tx, tx)
+            .transpose(0, 2, 1, 3).reshape(-1))
+    return flat.reshape(-1, L.LANES)
 
 
-def untile(flat, height: int, width: int, ty: int = TILE_Y, tx: int = TILE_X):
-    c = flat.shape[-1]
-    return (flat.reshape(height // ty, width // tx, ty, tx, c)
-            .transpose(0, 2, 1, 3, 4).reshape(height, width, c))
+def untile(lanes, height: int, width: int, ty: int = TILE_Y, tx: int = TILE_X):
+    """[Nb,128] → [H,W]."""
+    flat = lanes.reshape(-1)
+    return (flat.reshape(height // ty, width // tx, ty, tx)
+            .transpose(0, 2, 1, 3).reshape(height, width))
 
 
 def _pad_dims(width, height):
     return -(-width // TILE_X) * TILE_X, -(-height // TILE_Y) * TILE_Y
 
 
+def _pad_grid(g, wp, hp, value):
+    h, w = g.shape
+    return jnp.pad(g, ((0, hp - h), (0, wp - w)), constant_values=value)
+
+
 # ---------------------------------------------------------------------------
-# Trace backends
+# Trace backends (lane-major I/O: o/d [3,Nb,128], tmax [Nb,128])
 # ---------------------------------------------------------------------------
 
 class DenseBackend(NamedTuple):
@@ -104,17 +118,23 @@ class DenseBackend(NamedTuple):
 class ReferenceBackend(NamedTuple):
     """XLA LBVH traversal + post-trace attribute gather (CPU-friendly)."""
     bvh: object            # BVH2
-    attr_table: jax.Array  # f32[T,27] per-triangle corner attrs (original order)
+    attr_table: jax.Array  # f32[T,36] per-triangle corner attrs (original order)
 
     def closest(self, o, d, tmax, interpret=False):
         from vkrt_tpu.rt.traverse import trace_closest
-        t, tri, u, v = trace_closest(self.bvh, o, d, C.RAY_TMIN, tmax)
-        attrs = self.attr_table[jnp.maximum(tri, 0)]
-        return t, u, v, attrs, tri >= 0
+        of, df = L.from_cvec(o), L.from_cvec(d)
+        t, tri, u, v = trace_closest(self.bvh, of, df, C.RAY_TMIN,
+                                     L.from_lanes(tmax))
+        attrs = self.attr_table[jnp.maximum(tri, 0)]        # [N,36]
+        attrs = jnp.moveaxis(attrs.reshape(-1, L.LANES, 36), -1, 0)
+        return (L.to_lanes(t), L.to_lanes(u), L.to_lanes(v), attrs,
+                L.to_lanes(tri >= 0))
 
     def occluded(self, o, d, tmax, interpret=False):
         from vkrt_tpu.rt.traverse import trace_occluded
-        return trace_occluded(self.bvh, o, d, C.RAY_TMIN, tmax)
+        occ = trace_occluded(self.bvh, L.from_cvec(o), L.from_cvec(d),
+                             C.RAY_TMIN, L.from_lanes(tmax))
+        return L.to_lanes(occ)
 
 
 # ---------------------------------------------------------------------------
@@ -123,100 +143,138 @@ class ReferenceBackend(NamedTuple):
 
 def render_frame(backend, tex: TextureArrays, proj_inverse, view_inverse,
                  lights, cfg: C.RenderConfig, interpret: bool = False):
-    """Render one frame. Returns (framebuffer f32[H,W,3], rays i32[N] traced
-    per pixel — summed on host for the Mrays metric)."""
+    """Render one frame. Returns (framebuffer f32[H,W,3], rays i32[Nb,128]
+    traced per pixel — summed on host for the Mrays metric)."""
     wp, hp = _pad_dims(cfg.width, cfg.height)
     origins, dirs = camera_ray_blocks(proj_inverse, view_inverse, cfg)
     accum, ray_count = wavefront_rounds(backend, tex, origins, dirs, lights,
                                         cfg, interpret=interpret)
-    fb = untile(accum, hp, wp)[: cfg.height, : cfg.width]
+    fb = jnp.stack([untile(accum[k], hp, wp)[: cfg.height, : cfg.width]
+                    for k in range(3)], axis=-1)
     return fb, ray_count
 
 
 def camera_ray_blocks(proj_inverse, view_inverse, cfg: C.RenderConfig):
-    """Camera rays padded to tile multiples and reordered into coherent
-    blocks (tile-major). Padding rays park at the far sentinel."""
+    """Camera rays padded to tile multiples, lane-major coherent blocks."""
     wp, hp = _pad_dims(cfg.width, cfg.height)
-    o_img, d_img = generate_rays(proj_inverse, view_inverse, cfg.width, cfg.height)
-    o_img = jnp.pad(o_img, ((0, hp - cfg.height), (0, wp - cfg.width), (0, 0)),
-                    constant_values=FAR_SENTINEL)
-    d_img = jnp.pad(d_img, ((0, hp - cfg.height), (0, wp - cfg.width), (0, 0)),
-                    constant_values=1.0)
-    return tile(o_img), shading.safe_normalize(tile(d_img))
+    o, d = generate_rays(proj_inverse, view_inverse, cfg.width, cfg.height)
+    o = jnp.stack([tile(_pad_grid(c, wp, hp, FAR_SENTINEL)) for c in o])
+    d = jnp.stack([tile(_pad_grid(c, wp, hp, 1.0)) for c in d])
+    return o, L.normalize3(d)
 
 
 def wavefront_rounds(backend, tex: TextureArrays, origins, dirs, lights,
                      cfg: C.RenderConfig, interpret: bool = False):
-    """The trace→shade rounds over a flat ray wavefront [N,3]. Pure map
-    over rays (scene replicated) — the unit that shards across chips."""
-    n = origins.shape[0]
-    accum = jnp.zeros((n, 3), jnp.float32)
-    attenuation = jnp.ones((n, 1), jnp.float32)
-    active = jnp.ones(n, dtype=bool)
-    ray_count = jnp.zeros(n, jnp.int32)
+    """The trace→shade rounds over a lane-major wavefront ([3,Nb,128]).
+    Pure map over rays (scene replicated) — the unit that shards across
+    chips. Returns (accum [3,Nb,128], ray_count [Nb,128])."""
+    nb = origins.shape[1]
+    shape = (nb, L.LANES)
+    accum = jnp.zeros((3,) + shape, jnp.float32)
+    attenuation = jnp.ones(shape, jnp.float32)
+    active = jnp.ones(shape, dtype=bool)
+    ray_count = jnp.zeros(shape, jnp.int32)
     lights = lights[:cfg.num_lights]
 
     for _depth in range(cfg.max_depth):
-        to = jnp.where(active[:, None], origins, FAR_SENTINEL)
-        tmax = jnp.full(n, C.RAY_TMAX, jnp.float32)
-        t, u, v, attrs, hitm = backend.closest(to, dirs, tmax, interpret=interpret)
+        to = L.where3(active, origins, jnp.full_like(origins, FAR_SENTINEL))
+        tmax = jnp.full(shape, C.RAY_TMAX, jnp.float32)
+        t, u, v, attrs, hitm = backend.closest(to, dirs, tmax,
+                                               interpret=interpret)
         ray_count = ray_count + active.astype(jnp.int32)
         hit = hitm & active
         miss = active & ~hitm
 
         # miss shader: sky, unattenuated (ref: shader.rmiss:17 — the miss
         # shader overwrites hitValue; rgen adds it as-is)
-        accum = accum + jnp.where(miss[:, None], jnp.asarray(C.SKY_COLOR), 0.0)
+        sky = jnp.asarray(C.SKY_COLOR)
+        accum = accum + jnp.where(miss[None], sky[:, None, None], 0.0)
 
         pos, normal, uv, tangent, mat_ids = shading.interpolate(attrs, u, v)
-        base = sample_bilinear(tex.texels, tex.level_offset, tex.level_width,
-                               tex.level_height, mat_ids[:, 0], uv)[:, :3]
+        base = sample_bilinear(tex.texels_quad, tex.level_offset,
+                               tex.level_width, tex.level_height,
+                               mat_ids[0], uv)[:3]
 
         if cfg.flat_albedo:
-            accum = accum + jnp.where(hit[:, None], base, 0.0)
+            accum = accum + jnp.where(hit[None], base, 0.0)
             active = jnp.zeros_like(active)
             break
-        map_n = sample_bilinear(tex.texels, tex.level_offset, tex.level_width,
-                                tex.level_height, mat_ids[:, 2], uv)[:, :3]
-        metallic = sample_bilinear(tex.texels, tex.level_offset, tex.level_width,
-                                   tex.level_height, mat_ids[:, 1], uv)[:, 2]
+
+        map_n = sample_bilinear(tex.texels_quad, tex.level_offset,
+                                tex.level_width, tex.level_height,
+                                mat_ids[2], uv)[:3]
+        metallic = sample_bilinear(tex.texels_quad, tex.level_offset,
+                                   tex.level_width, tex.level_height,
+                                   mat_ids[1], uv)[2]
         pn = shading.perturbed_normal(normal, tangent, map_n)
 
-        total_light = jnp.zeros(n, jnp.float32)
+        total_light = jnp.zeros(shape, jnp.float32)
         for li in range(cfg.num_lights):
             ldir, ldist, power = shading.light_geometry(pos, lights[li])
-            ndotl = jnp.sum(pn * ldir, axis=1)
+            ndotl = L.dot3(pn, ldir)
             diffuse = jnp.clip(ndotl, 0.0, 1.0)
-            mult = jnp.ones(n, jnp.float32)
+            mult = jnp.ones(shape, jnp.float32)
             if cfg.enable_shadows:
                 cast = hit & (ndotl > 0)
-                so = jnp.where(cast[:, None], pos, FAR_SENTINEL)
+                so = L.where3(cast, pos, jnp.full_like(pos, FAR_SENTINEL))
                 occ = backend.occluded(so, ldir, ldist, interpret=interpret)
                 ray_count = ray_count + cast.astype(jnp.int32)
                 mult = jnp.where(cast & occ, C.SHADOW_MULTIPLIER, 1.0)
             total_light = total_light + diffuse * power * mult
 
-        hit_value = (base * total_light[:, None] * attenuation
-                     + base * C.AMBIENT)
+        hit_value = base * (total_light * attenuation)[None] + base * C.AMBIENT
 
         if cfg.enable_reflections:
             reflective = hit & (metallic > C.METALLIC_THRESHOLD)
             # attenuation updates BEFORE the (1 - attenuation) scale —
             # order quirk preserved (ref: shader.rchit:165-167)
-            new_att = attenuation * (C.REFLECT_SCALE * metallic[:, None])
-            attenuation = jnp.where(reflective[:, None], new_att, attenuation)
-            hit_value = jnp.where(reflective[:, None],
-                                  hit_value * (1.0 - attenuation), hit_value)
+            new_att = attenuation * (C.REFLECT_SCALE * metallic)
+            attenuation = jnp.where(reflective, new_att, attenuation)
+            hit_value = jnp.where(reflective[None],
+                                  hit_value * (1.0 - attenuation)[None],
+                                  hit_value)
         else:
             reflective = jnp.zeros_like(hit)
 
-        accum = accum + jnp.where(hit[:, None], hit_value, 0.0)
+        accum = accum + jnp.where(hit[None], hit_value, 0.0)
 
-        origins = jnp.where(reflective[:, None], pos, origins)
-        dirs = jnp.where(reflective[:, None], shading.reflect(dirs, pn), dirs)
+        origins = L.where3(reflective, pos, origins)
+        dirs = L.where3(reflective, shading.reflect(dirs, pn), dirs)
         active = reflective
 
     return accum, ray_count
+
+
+# In-process cache: scene arrays + device texture heap + backends are
+# shared across Renderer/Rasterizer instances (the axon tunnel moves
+# ~11MB/s — re-uploading the texture heap per instance is minutes).
+_SCENE_CACHE: dict = {}
+
+
+def load_scene_assets(model_path: str, max_texture_dim: int = 0):
+    """(FlatScene, TextureArrays) — cached per (path, texture dim)."""
+    key = (model_path, max_texture_dim)
+    if key not in _SCENE_CACHE:
+        from vkrt_tpu.scene import (build_texture_heap, flatten_model,
+                                    load_model)
+        model = load_model(model_path, max_texture_dim=max_texture_dim)
+        flat = flatten_model(model)
+        heap = build_texture_heap(model.images)
+        tex = TextureArrays(
+            texels_quad=jnp.asarray(heap.quad_texels()),
+            level_offset=jnp.asarray(heap.level_offset),
+            level_width=jnp.asarray(heap.level_width),
+            level_height=jnp.asarray(heap.level_height),
+        )
+        _SCENE_CACHE[key] = (flat, tex, {})
+    return _SCENE_CACHE[key]
+
+
+def cached_backend(model_path: str, max_texture_dim: int, kind: str):
+    flat, tex, backends = load_scene_assets(model_path, max_texture_dim)
+    if kind not in backends:
+        backends[kind] = make_backend(flat, kind)
+    return flat, tex, backends[kind]
 
 
 class Renderer:
@@ -227,20 +285,10 @@ class Renderer:
     def __init__(self, model_path: str, cfg: C.RenderConfig,
                  backend: str = "dense", max_texture_dim: int = 0,
                  interpret: bool = False):
-        from vkrt_tpu.scene import (build_texture_heap, flatten_model,
-                                    load_model)
         self.cfg = cfg
         self.interpret = interpret
-        model = load_model(model_path, max_texture_dim=max_texture_dim)
-        self.flat = flatten_model(model)
-        heap = build_texture_heap(model.images)
-        self.tex = TextureArrays(
-            texels=jnp.asarray(heap.texels),
-            level_offset=jnp.asarray(heap.level_offset),
-            level_width=jnp.asarray(heap.level_width),
-            level_height=jnp.asarray(heap.level_height),
-        )
-        self.backend = make_backend(self.flat, backend)
+        self.flat, self.tex, self.backend = cached_backend(
+            model_path, max_texture_dim, backend)
         self.lights = jnp.asarray(C.LIGHT_POSITIONS)
         self._frame = jax.jit(functools.partial(
             render_frame, cfg=cfg, interpret=interpret))
