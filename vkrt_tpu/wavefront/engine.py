@@ -177,10 +177,13 @@ def wavefront_rounds(backend, tex: TextureArrays, origins, dirs, lights,
     lights = lights[:cfg.num_lights]
 
     for _depth in range(cfg.max_depth):
-        to = L.where3(active, origins, jnp.full_like(origins, FAR_SENTINEL))
-        tmax = jnp.full(shape, C.RAY_TMAX, jnp.float32)
-        t, u, v, attrs, hitm = backend.closest(to, dirs, tmax,
-                                               interpret=interpret)
+        # named scopes surface as ranges in jax.profiler traces — the
+        # DebugMarker beginLabel/endLabel analogue (ref: DebugMarker.cpp)
+        with jax.named_scope(f"trace_closest_d{_depth}"):
+            to = L.where3(active, origins, jnp.full_like(origins, FAR_SENTINEL))
+            tmax = jnp.full(shape, C.RAY_TMAX, jnp.float32)
+            t, u, v, attrs, hitm = backend.closest(to, dirs, tmax,
+                                                   interpret=interpret)
         ray_count = ray_count + active.astype(jnp.int32)
         hit = hitm & active
         miss = active & ~hitm
@@ -215,9 +218,10 @@ def wavefront_rounds(backend, tex: TextureArrays, origins, dirs, lights,
             diffuse = jnp.clip(ndotl, 0.0, 1.0)
             mult = jnp.ones(shape, jnp.float32)
             if cfg.enable_shadows:
-                cast = hit & (ndotl > 0)
-                so = L.where3(cast, pos, jnp.full_like(pos, FAR_SENTINEL))
-                occ = backend.occluded(so, ldir, ldist, interpret=interpret)
+                with jax.named_scope(f"trace_shadow_d{_depth}_l{li}"):
+                    cast = hit & (ndotl > 0)
+                    so = L.where3(cast, pos, jnp.full_like(pos, FAR_SENTINEL))
+                    occ = backend.occluded(so, ldir, ldist, interpret=interpret)
                 ray_count = ray_count + cast.astype(jnp.int32)
                 mult = jnp.where(cast & occ, C.SHADOW_MULTIPLIER, 1.0)
             total_light = total_light + diffuse * power * mult
