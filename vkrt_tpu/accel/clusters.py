@@ -25,9 +25,14 @@ Build is fully jittable. Geometry rows in `tri_data` (f32[C1, ROWS, 128]):
  18-19  uv0         20-21 uv1          22-23 uv2
  24-26  t0.xyz      27-29 t1.xyz       30-32 t2.xyz      (vertex tangents)
  33     base-color image id            34 metallic-roughness image id
- 35     normal image id                36-39 pad
+ 35     normal image id
+ 36-44  W row-major (the Woop affine world→unit-triangle transform,
+        W = [e1 e2 n]^-1 with n = e1xe2; zero for degenerate triangles)
+ 45-47  W·v0 (the affine translation part)
 Attribute rows let the trace kernel select shading inputs with masked lane
-reductions instead of post-trace gathers (gathers are the enemy, above).
+reductions instead of post-trace gathers (gathers are the enemy, above);
+the Woop rows let the kernel run ray-triangle intersection as one MXU
+matmul per cluster plus ~15 VPU ops (vs ~45 for Möller-Trumbore).
 """
 
 from __future__ import annotations
@@ -42,7 +47,7 @@ from vkrt_tpu.accel.lbvh import morton30
 
 K1 = 128   # triangles per cluster (== VPU lane width)
 K2 = 64    # clusters per supercluster
-ROWS = 40  # rows in the packed per-cluster slab (36 used)
+ROWS = 48  # rows in the packed per-cluster slab (36 attr + 12 Woop)
 
 _INF = 3.0e38
 
@@ -116,6 +121,30 @@ def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
                           order, attrs, with_attributes)
 
 
+
+def _woop_cols(xp, v0, e1, e2):
+    """[Tp,12]: Woop transform W (row-major 9) + W·v0 (3). W = [e1 e2 n]^-1
+    with n = e1×e2 (det = |n|²); zero for degenerate triangles. Works for
+    numpy and jax.numpy alike."""
+    def cross(a, b):
+        return (a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+                a[:, 0] * b[:, 2] - a[:, 2] * b[:, 0],
+                a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0])
+    nx, nyn, nz = cross(e1, e2)
+    nyn = -nyn  # cross helper computes (a1b2-a2b1, a0b2-a2b0, a0b1-a1b0)
+    n = xp.stack([nx, nyn, nz], axis=1)
+    det = nx * nx + nyn * nyn + nz * nz
+    inv = xp.where(det > 1e-24, 1.0 / xp.where(det == 0, 1.0, det), 0.0)[:, None]
+    r0x, r0y, r0z = cross(e2, n)
+    r0 = xp.stack([r0x, -r0y, r0z], axis=1) * inv
+    r1x, r1y, r1z = cross(n, e1)
+    r1 = xp.stack([r1x, -r1y, r1z], axis=1) * inv
+    r2 = n * inv
+    wv0 = xp.stack([(r0 * v0).sum(axis=1), (r1 * v0).sum(axis=1),
+                    (r2 * v0).sum(axis=1)], axis=1)
+    return xp.concatenate([r0, r1, r2, wv0], axis=1).astype(xp.float32)
+
+
 @partial(jax.jit, static_argnames=("with_attributes",))
 def _assemble(v0, e1, e2, order, attrs=None, with_attributes: bool = False) -> ClusterTree:
     T = v0.shape[0]
@@ -173,11 +202,10 @@ def _assemble(v0, e1, e2, order, attrs=None, with_attributes: bool = False) -> C
                  lanes(_pad_rows(a["t1"][order], Tp)),
                  lanes(_pad_rows(a["t2"][order], Tp)),
                  lanes(_pad_rows(a["mat"][order].astype(jnp.float32), Tp))]
-    tri_data = jnp.concatenate(rows, axis=1)           # [C1, used_rows, K1]
-    used = tri_data.shape[1]
-    if used < ROWS:
-        tri_data = jnp.concatenate(
-            [tri_data, jnp.zeros((C1, ROWS - used, K1), jnp.float32)], axis=1)
+    else:
+        rows += [jnp.zeros((C1, 27, K1), jnp.float32)]
+    rows += [lanes(_woop_cols(jnp, sv0, se1, se2))]     # rows 36-47
+    tri_data = jnp.concatenate(rows, axis=1)           # [C1, ROWS, K1]
     tri_data = _pad_rows(tri_data, C1p)
 
     return ClusterTree(sc_boxes=sc_boxes, cl_boxes=cl_boxes,
@@ -252,11 +280,14 @@ def _assemble_host(v0, e1, e2, order, attrs=None,
         for key in ("n0", "n1", "n2", "uv0", "uv1", "uv2", "t0", "t1", "t2"):
             rows.append(lanes(pad(a[key][order], Tp)))
         rows.append(lanes(pad(a["mat"][order].astype(np.float32), Tp)))
+    else:
+        rows.append(np.zeros((C1, 27, K1), np.float32))
+    # float64 on the host path: the 3x3 inverse is precision-sensitive for
+    # sliver triangles and f32 W loses ~0.14% of edge hits vs exact math
+    rows.append(lanes(_woop_cols(np, sv0.astype(np.float64),
+                                 se1.astype(np.float64),
+                                 se2.astype(np.float64))))   # rows 36-47
     tri_data = np.concatenate(rows, axis=1)
-    if tri_data.shape[1] < ROWS:
-        tri_data = np.concatenate(
-            [tri_data, np.zeros((C1, ROWS - tri_data.shape[1], K1), np.float32)],
-            axis=1)
     tri_data = pad(tri_data, C1p)
 
     return ClusterTree(sc_boxes=jnp.asarray(sc_boxes),

@@ -45,7 +45,15 @@ def refit_clusters(tree: ClusterTree, matrix: jnp.ndarray) -> ClusterTree:
     v0 = xform(rows3(0), True)
     e1 = xform(rows3(3), False)
     e2 = xform(rows3(6), False)
-    td = jnp.concatenate([v0, e1, e2, td[:, 9:, :]], axis=1)
+
+    # recompute the Woop transform rows (36-47) for the moved geometry
+    from vkrt_tpu.accel.clusters import _woop_cols
+    c1p, _, k1 = td.shape
+    flat = lambda x: x.transpose(0, 2, 1).reshape(-1, 3)   # [C1p,3,K1]→[T',3]
+    woop = _woop_cols(jnp, flat(v0), flat(e1), flat(e2))   # [T',12]
+    woop = woop.reshape(c1p, k1, 12).transpose(0, 2, 1)    # [C1p,12,K1]
+
+    td = jnp.concatenate([v0, e1, e2, td[:, 9:36, :], woop], axis=1)
 
     # leaf AABBs (padding slots neutralized via leaf_tri < 0)
     p0 = v0
