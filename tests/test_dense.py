@@ -100,7 +100,8 @@ def test_dense_attributes_interpolate(scene):
 
 def test_cluster_tree_shapes(scene):
     _, _, _, tree = scene
-    assert tree.tri_data.shape[1] == 48
+    from vkrt_tpu.accel.clusters import ROWS as _ROWS
+    assert tree.tri_data.shape[1] == _ROWS
     assert tree.tri_data.shape[2] == K1
     assert tree.cl_boxes.shape[2] == K2
     # padding slots map to -1

@@ -47,7 +47,7 @@ from vkrt_tpu.accel.lbvh import morton30
 
 K1 = 128   # triangles per cluster (== VPU lane width)
 K2 = 64    # clusters per supercluster
-ROWS = 48  # rows in the packed per-cluster slab (36 attr + 12 Woop)
+ROWS = 52  # rows: 36 attr + 12 Woop (local frame) + 3 cluster center + pad
 
 _INF = 3.0e38
 
@@ -122,10 +122,13 @@ def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
 
 
 
-def _woop_cols(xp, v0, e1, e2):
-    """[Tp,12]: Woop transform W (row-major 9) + W·v0 (3). W = [e1 e2 n]^-1
-    with n = e1×e2 (det = |n|²); zero for degenerate triangles. Works for
-    numpy and jax.numpy alike."""
+def _woop_cols(xp, v0, e1, e2, center=None):
+    """[Tp,12]: Woop transform W (row-major 9) + W·(v0−center) (3).
+    W = [e1 e2 n]^-1 with n = e1×e2 (det = |n|²); zero for degenerate
+    triangles. `center` (per-tri [Tp,3], the owning cluster's AABB
+    center) keeps the affine translation small — the global form cancels
+    catastrophically for rays far from sliver triangles. Works for numpy
+    and jax.numpy alike."""
     def cross(a, b):
         return (a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
                 a[:, 0] * b[:, 2] - a[:, 2] * b[:, 0],
@@ -140,8 +143,9 @@ def _woop_cols(xp, v0, e1, e2):
     r1x, r1y, r1z = cross(n, e1)
     r1 = xp.stack([r1x, -r1y, r1z], axis=1) * inv
     r2 = n * inv
-    wv0 = xp.stack([(r0 * v0).sum(axis=1), (r1 * v0).sum(axis=1),
-                    (r2 * v0).sum(axis=1)], axis=1)
+    vref = v0 if center is None else v0 - center
+    wv0 = xp.stack([(r0 * vref).sum(axis=1), (r1 * vref).sum(axis=1),
+                    (r2 * vref).sum(axis=1)], axis=1)
     return xp.concatenate([r0, r1, r2, wv0], axis=1).astype(xp.float32)
 
 
@@ -204,8 +208,16 @@ def _assemble(v0, e1, e2, order, attrs=None, with_attributes: bool = False) -> C
                  lanes(_pad_rows(a["mat"][order].astype(jnp.float32), Tp))]
     else:
         rows += [jnp.zeros((C1, 27, K1), jnp.float32)]
-    rows += [lanes(_woop_cols(jnp, sv0, se1, se2))]     # rows 36-47
-    tri_data = jnp.concatenate(rows, axis=1)           # [C1, ROWS, K1]
+    centers_j = (cl_min[:C1] + cl_max[:C1]) * 0.5
+    centers_j = jnp.where(jnp.isfinite(centers_j), centers_j, 0.0)
+    tri_centers_j = jnp.repeat(centers_j, K1, axis=0)
+    rows += [lanes(_woop_cols(jnp, sv0, se1, se2, tri_centers_j))]  # 36-47
+    rows += [lanes(tri_centers_j)]                                  # 48-50
+    tri_data = jnp.concatenate(rows, axis=1)           # [C1, used, K1]
+    if tri_data.shape[1] < ROWS:
+        tri_data = jnp.concatenate(
+            [tri_data, jnp.zeros((C1, ROWS - tri_data.shape[1], K1),
+                                 jnp.float32)], axis=1)
     tri_data = _pad_rows(tri_data, C1p)
 
     return ClusterTree(sc_boxes=sc_boxes, cl_boxes=cl_boxes,
@@ -282,12 +294,22 @@ def _assemble_host(v0, e1, e2, order, attrs=None,
         rows.append(lanes(pad(a["mat"][order].astype(np.float32), Tp)))
     else:
         rows.append(np.zeros((C1, 27, K1), np.float32))
-    # float64 on the host path: the 3x3 inverse is precision-sensitive for
-    # sliver triangles and f32 W loses ~0.14% of edge hits vs exact math
+    # float64 on the host path: the 3x3 inverse is precision-sensitive
+    # for sliver triangles; the local frame (cluster-center-relative
+    # translation) avoids the global-form cancellation
+    centers = ((cl_min[:C1] + cl_max[:C1]) * 0.5)            # [C1,3]
+    centers = np.where(np.isfinite(centers), centers, 0.0).astype(np.float64)
+    tri_centers = np.repeat(centers, K1, axis=0)             # [Tp,3]
     rows.append(lanes(_woop_cols(np, sv0.astype(np.float64),
                                  se1.astype(np.float64),
-                                 se2.astype(np.float64))))   # rows 36-47
+                                 se2.astype(np.float64),
+                                 tri_centers)))              # rows 36-47
+    rows.append(lanes(tri_centers.astype(np.float32)))       # rows 48-50
     tri_data = np.concatenate(rows, axis=1)
+    if tri_data.shape[1] < ROWS:
+        tri_data = np.concatenate(
+            [tri_data, np.zeros((C1, ROWS - tri_data.shape[1], K1),
+                                np.float32)], axis=1)
     tri_data = pad(tri_data, C1p)
 
     return ClusterTree(sc_boxes=jnp.asarray(sc_boxes),

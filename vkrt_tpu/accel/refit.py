@@ -46,15 +46,6 @@ def refit_clusters(tree: ClusterTree, matrix: jnp.ndarray) -> ClusterTree:
     e1 = xform(rows3(3), False)
     e2 = xform(rows3(6), False)
 
-    # recompute the Woop transform rows (36-47) for the moved geometry
-    from vkrt_tpu.accel.clusters import _woop_cols
-    c1p, _, k1 = td.shape
-    flat = lambda x: x.transpose(0, 2, 1).reshape(-1, 3)   # [C1p,3,K1]→[T',3]
-    woop = _woop_cols(jnp, flat(v0), flat(e1), flat(e2))   # [T',12]
-    woop = woop.reshape(c1p, k1, 12).transpose(0, 2, 1)    # [C1p,12,K1]
-
-    td = jnp.concatenate([v0, e1, e2, td[:, 9:36, :], woop], axis=1)
-
     # leaf AABBs (padding slots neutralized via leaf_tri < 0)
     p0 = v0
     p1 = v0 + e1
@@ -84,6 +75,22 @@ def refit_clusters(tree: ClusterTree, matrix: jnp.ndarray) -> ClusterTree:
     sc_boxes = sc_boxes.at[3:6, :].set(-_INF)
     sc_boxes = sc_boxes.at[0:3, :c2].set(sc_min.T)
     sc_boxes = sc_boxes.at[3:6, :c2].set(sc_max.T)
+
+    # Woop rows (36-47) + cluster centers (48-50) in the new frame
+    from vkrt_tpu.accel.clusters import ROWS, _woop_cols
+    flat = lambda x: x.transpose(0, 2, 1).reshape(-1, 3)   # [C1p,3,K1]→[T',3]
+    centers = (cl_min + cl_max) * 0.5                      # [C1p,3]
+    centers = jnp.where(jnp.isfinite(centers), centers, 0.0)
+    tri_centers = jnp.repeat(centers, K1, axis=0)
+    woop = _woop_cols(jnp, flat(v0), flat(e1), flat(e2), tri_centers)
+    woop = woop.reshape(c1p, K1, 12).transpose(0, 2, 1)    # [C1p,12,K1]
+    cen_rows = tri_centers.reshape(c1p, K1, 3).transpose(0, 2, 1)
+    td = jnp.concatenate([v0, e1, e2, td[:, 9:36, :], woop, cen_rows],
+                         axis=1)
+    if td.shape[1] < ROWS:
+        td = jnp.concatenate(
+            [td, jnp.zeros((c1p, ROWS - td.shape[1], K1), jnp.float32)],
+            axis=1)
 
     return ClusterTree(sc_boxes=sc_boxes, cl_boxes=cl_boxes,
                        tri_data=td, leaf_tri=tree.leaf_tri)

@@ -83,12 +83,13 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     tmax = to_sublanes(tmax_ref[0])
 
     if woop:
-        # ray matrix for the Woop MXU intersection: one [R,8] operand per
-        # block; B (per-cluster [8, 6*K1]) is zeroed once, nonzero row
-        # segments rewritten per cluster visit
+        # Woop MXU intersection operands: B (per-cluster [8, 6*K1]) is
+        # zeroed once, nonzero row segments rewritten per cluster visit;
+        # the ray matrix X is rebuilt per cluster in the CLUSTER's local
+        # frame (origin minus cluster center) — the precision fix that
+        # makes the affine form viable for sliver triangles.
         ones = jnp.ones((R, 1), jnp.float32)
         zeros = jnp.zeros((R, 1), jnp.float32)
-        x_mat = jnp.concatenate([ox, oy, oz, ones, dx, dy, dz, zeros], axis=1)
         b_mat[:] = jnp.zeros_like(b_mat)
 
     t_s[:] = tmax
@@ -176,6 +177,15 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                     b_mat[4 + k:5 + k, (3 + j) * K1:(4 + j) * K1] = seg
             for j in range(3):
                 b_mat[3:4, j * K1:(j + 1) * K1] = -chunk[45 + j:46 + j, :]
+
+            # cluster-local ray origins (rows 48-50 hold the center,
+            # replicated across lanes — any lane reduce recovers it)
+            ccx = jnp.max(chunk[48:49, :])
+            ccy = jnp.max(chunk[49:50, :])
+            ccz = jnp.max(chunk[50:51, :])
+            x_mat = jnp.concatenate(
+                [ox - ccx, oy - ccy, oz - ccz, ones, dx, dy, dz, zeros],
+                axis=1)
 
             y = jax.lax.dot_general(x_mat, b_mat[:],
                                     (((1,), (0,)), ((), ())),
