@@ -46,11 +46,15 @@ def apply_keys(cam: Camera, keys: str, dt: float) -> None:
 
 def camera_path(width: int, height: int, path: List[Segment] | None = None,
                 dt: float = 1.0 / 60.0) -> Iterator[Camera]:
-    """Yield a Camera per frame along the scripted path."""
+    """Yield a Camera SNAPSHOT per frame along the scripted path (each
+    yielded camera is an independent copy — safe to collect into a list)."""
     cam = Camera(width, height)
     cam.set_position(C.CAMERA_START_POSITION)
     cam.set_rotation(C.CAMERA_START_ROTATION)
     for keys, frames in (path or DEFAULT_PATH):
         for _ in range(frames):
             apply_keys(cam, keys, dt)
-            yield cam
+            snap = Camera(width, height)
+            snap.set_position(cam.position)
+            snap.set_rotation(cam.rotation)
+            yield snap
