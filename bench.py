@@ -23,8 +23,6 @@ def main():
     from vkrt_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    import numpy as np
-
     from vkrt_tpu import config as C
     from vkrt_tpu.app.camera import Camera
     from vkrt_tpu.wavefront.engine import Renderer

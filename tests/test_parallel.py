@@ -1,7 +1,5 @@
 """Multi-chip sharding on the virtual 8-device CPU mesh (SURVEY.md §4)."""
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

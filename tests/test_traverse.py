@@ -2,7 +2,6 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from vkrt_tpu.accel import build_lbvh
 from vkrt_tpu.golden.cpu_tracer import closest_hit as brute_closest

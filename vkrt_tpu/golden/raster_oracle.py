@@ -16,7 +16,6 @@ from vkrt_tpu.golden.cpu_tracer import closest_hit, sample_texture
 from vkrt_tpu.raster.pipeline import ALPHA_DISCARD, CLEAR_COLOR, MSAA8
 from vkrt_tpu.scene.flatten import FlatScene
 from vkrt_tpu.scene.textures import TextureHeap
-from vkrt_tpu.utils import mathutils as mu
 
 
 def _rays_offset(width, height, proj_inverse, view_inverse, off):
