@@ -83,6 +83,14 @@ def test_full_reference_workload_shape(subset):
     assert rmse(fb, golden) <= 1e-3
 
 
+def test_config5_stress_shading(subset):
+    # 4-bounce, 4 lights (the stress config's shading contract; the
+    # per-frame rebuild itself is covered by tests/test_refit.py)
+    cfg = dataclasses.replace(C.config5_stress(), width=W, height=H)
+    fb, golden, rays = run_both(subset, cfg)
+    assert rmse(fb, golden) <= 1e-3
+
+
 def test_determinism(subset):
     cfg = dataclasses.replace(C.config2_shadows(), width=W, height=H)
     flat, heap, tex, backend, cam = subset
