@@ -44,12 +44,18 @@ def _grid_patch(rng: np.random.Generator, n_verts: int, n_tris: int,
     v = np.linspace(0.0, 1.0, rows, dtype=np.float32)
     uu, vv = np.meshgrid(u, v)          # [rows, cols]
 
-    # Undulating mid-surface along the smallest axis.
+    # Architectural placement: the sheet hugs one FACE of the AABB along
+    # the smallest axis (like Sponza's walls/floors/columns — submeshes
+    # are split by material, so their AABBs overlap heavily; centering
+    # every sheet would stack ~30 surfaces through every point of space,
+    # an unrealistically high depth complexity), with mild undulation.
     phase = rng.uniform(0, 2 * np.pi, size=3)
     freq = rng.integers(1, 4, size=2)
-    s_amp = 0.35
-    ss = 0.5 + s_amp * (np.sin(2 * np.pi * freq[0] * uu + phase[0])
-                        * np.cos(2 * np.pi * freq[1] * vv + phase[1])).astype(np.float32)
+    face = float(rng.integers(0, 2))           # which face of the AABB
+    s_amp = 0.06
+    base = face + (1.0 - 2.0 * face) * s_amp   # just inside the chosen face
+    ss = base + s_amp * (np.sin(2 * np.pi * freq[0] * uu + phase[0])
+                         * np.cos(2 * np.pi * freq[1] * vv + phase[1])).astype(np.float32)
 
     pos = np.zeros((rows, cols, 3), dtype=np.float32)
     pos[..., u_ax] = aabb_min[u_ax] + uu * extent[u_ax]
