@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint path: saved every frame; resumes if present")
     p.add_argument("--raster", action="store_true",
                    help="use the classic raster pipeline instead of RT")
+    p.add_argument("--shard", action="store_true",
+                   help="shard rays across all visible devices (mesh render)")
     p.add_argument("--msaa", type=int, default=8, choices=[1, 8],
                    help="raster-path MSAA sample count")
     return p
@@ -91,6 +93,28 @@ def main(argv=None) -> int:
         renderer = Rasterizer(args.scene, cfg, backend=args.backend,
                               max_texture_dim=args.max_texture_dim,
                               msaa=args.msaa)
+    elif args.shard:
+        import jax.numpy as jnp
+
+        from vkrt_tpu.parallel import make_mesh, render_frame_sharded
+        from vkrt_tpu.wavefront.engine import cached_backend
+
+        mesh = make_mesh()
+        print(f"sharding rays over {mesh.devices.size} devices",
+              file=sys.stderr)
+        _, tex, be = cached_backend(args.scene, args.max_texture_dim,
+                                    args.backend)
+        lights = jnp.asarray(C.LIGHT_POSITIONS)
+
+        class _Sharded:
+            def render(self, camera):
+                import numpy as np
+                fb, rays = render_frame_sharded(
+                    be, tex, jnp.asarray(camera.proj_inverse),
+                    jnp.asarray(camera.view_inverse), lights, cfg, mesh)
+                return np.asarray(fb), int(np.asarray(rays).sum())
+
+        renderer = _Sharded()
     else:
         from vkrt_tpu.wavefront.engine import Renderer
         renderer = Renderer(args.scene, cfg, backend=args.backend,
