@@ -85,8 +85,21 @@ def refit_clusters(tree: ClusterTree, matrix: jnp.ndarray) -> ClusterTree:
     woop = _woop_cols(jnp, flat(v0), flat(e1), flat(e2), tri_centers)
     woop = woop.reshape(c1p, K1, 12).transpose(0, 2, 1)    # [C1p,12,K1]
     cen_rows = tri_centers.reshape(c1p, K1, 3).transpose(0, 2, 1)
-    td = jnp.concatenate([v0, e1, e2, td[:, 9:36, :], woop, cen_rows],
-                         axis=1)
+
+    # shading attribute directions must follow the transform: vertex
+    # normals (rows 9-17) and tangents (24-32) rotate with A (uniform
+    # scale is normalized away in shading); uvs/material ids unchanged.
+    # (For non-uniform scale a true inverse-transpose would be needed —
+    # the reference's TLAS transform is uniform, ref: Raytracer.cpp:1165.)
+    def rot(r):
+        return jnp.einsum("ij,cjk->cik", a, td[:, r:r + 3, :])
+
+    attrs_mid = jnp.concatenate(
+        [rot(9), rot(12), rot(15),            # n0 n1 n2
+         td[:, 18:24, :],                     # uvs
+         rot(24), rot(27), rot(30),           # t0 t1 t2
+         td[:, 33:36, :]], axis=1)            # material ids
+    td = jnp.concatenate([v0, e1, e2, attrs_mid, woop, cen_rows], axis=1)
     if td.shape[1] < ROWS:
         td = jnp.concatenate(
             [td, jnp.zeros((c1p, ROWS - td.shape[1], K1), jnp.float32)],

@@ -288,31 +288,77 @@ class Renderer:
 
     def __init__(self, model_path: str, cfg: C.RenderConfig,
                  backend: str = "dense", max_texture_dim: int = 0,
-                 interpret: bool = False):
+                 interpret: bool = False, rebuild: str = "refit"):
         self.cfg = cfg
         self.interpret = interpret
+        self.rebuild = rebuild      # "refit" (fast) | "full" (device re-sort)
         self.flat, self.tex, self.backend = cached_backend(
             model_path, max_texture_dim, backend)
         self.lights = jnp.asarray(C.LIGHT_POSITIONS)
         self._frame = jax.jit(functools.partial(
             render_frame, cfg=cfg, interpret=interpret))
+        if rebuild == "full":
+            idx = np.asarray(self.flat.indices, dtype=np.int64)
+            p = self.flat.positions
+            self._v0 = jnp.asarray(p[idx[:, 0]])
+            self._e1 = jnp.asarray(p[idx[:, 1]] - p[idx[:, 0]])
+            self._e2 = jnp.asarray(p[idx[:, 2]] - p[idx[:, 0]])
+            from vkrt_tpu.accel.clusters import scene_attrs
+            self._attrs = scene_attrs(self.flat)
+            c = (np.asarray(self._v0)
+                 + (np.asarray(self._e1) + np.asarray(self._e2)) / 3.0)
+            lo, hi = c.min(axis=0), c.max(axis=0)
+            self._aabb_corners = np.array(
+                [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+                 for z in (lo[2], hi[2])], np.float32)
 
     def render(self, camera, transform=None):
         """Render a frame. `transform` (4x4, TLAS-instance analogue) —
         or cfg.rebuild_per_frame — triggers the per-frame accel update
-        (BASELINE config 5: dense refit, ref driver rebuild at
-        src/Raytracer.cpp:1146-1280)."""
+        (BASELINE config 5; ref driver rebuild at src/Raytracer.cpp:
+        1146-1280): dense AABB refit by default, or a full on-device
+        Morton re-sort with rebuild="full"."""
         backend = self.backend
         if (self.cfg.rebuild_per_frame or transform is not None) and \
                 isinstance(backend, DenseBackend):
-            from vkrt_tpu.accel.refit import refit_clusters
             m = jnp.eye(4) if transform is None else jnp.asarray(transform, jnp.float32)
-            backend = DenseBackend(tree=refit_clusters(backend.tree, m))
+            if self.rebuild == "full":
+                backend = DenseBackend(tree=self._full_rebuild(m))
+            else:
+                from vkrt_tpu.accel.refit import refit_clusters
+                backend = DenseBackend(tree=refit_clusters(backend.tree, m))
         fb, rays = self._frame(backend, self.tex,
                                jnp.asarray(camera.proj_inverse),
                                jnp.asarray(camera.view_inverse),
                                self.lights)
         return np.asarray(fb), int(np.asarray(rays).sum())
+
+    def _full_rebuild(self, m):
+        """Per-frame FULL accel rebuild: transform geometry + attribute
+        directions on device, re-sort Morton order, assemble. Heavier
+        than refit (one argsort + permute gathers per frame) but restores
+        topology quality under large deformation."""
+        from vkrt_tpu.accel.clusters import build_clusters
+        v0, e1, e2, attrs = _transform_geometry(self._v0, self._e1,
+                                                self._e2, self._attrs, m)
+        mc = np.asarray(m)
+        corners = self._aabb_corners @ mc[:3, :3].T + mc[:3, 3]
+        aabb = (corners.min(axis=0), corners.max(axis=0))
+        return build_clusters(v0, e1, e2, attrs=attrs, with_attributes=True,
+                              device=True, aabb=aabb)
+
+
+@jax.jit
+def _transform_geometry(v0, e1, e2, attrs, m):
+    """Affine transform of triangle geometry + directional attributes."""
+    a = m[:3, :3]
+    b = m[:3, 3]
+    rot = lambda x: x @ a.T
+    v0t = rot(v0) + b
+    out = dict(attrs)
+    for k in ("n0", "n1", "n2", "t0", "t1", "t2"):
+        out[k] = rot(attrs[k])
+    return v0t, rot(e1), rot(e2), out
 
 
 def make_backend(flat, kind: str):
