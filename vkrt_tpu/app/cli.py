@@ -108,7 +108,6 @@ def main(argv=None) -> int:
 
         class _Sharded:
             def render(self, camera):
-                import numpy as np
                 fb, rays = render_frame_sharded(
                     be, tex, jnp.asarray(camera.proj_inverse),
                     jnp.asarray(camera.view_inverse), lights, cfg, mesh)
@@ -122,7 +121,7 @@ def main(argv=None) -> int:
 
     start_frame = 0
     if args.checkpoint and os.path.exists(args.checkpoint):
-        _, resume_cam, start_frame, _ = load_state(args.checkpoint)
+        _, _, start_frame, _ = load_state(args.checkpoint)
         print(f"resuming at frame {start_frame}", file=sys.stderr)
 
     if args.frames > 1:
