@@ -54,6 +54,9 @@ def sponza_device(sponza_flat, sponza_heap):
     return scene_to_device(sponza_flat, sponza_heap)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: each test gets the same fresh stream, so outcomes
+    # never depend on suite order (a shared stream caused a tolerance
+    # flake that only appeared in full-suite runs)
     return np.random.default_rng(1234)
