@@ -23,6 +23,9 @@ def main():
     from vkrt_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    if os.environ.get("VKRT_BENCH_MODE") == "kernel":
+        return kernel_bench()
+
     from vkrt_tpu import config as C
     from vkrt_tpu.app.camera import Camera
     from vkrt_tpu.wavefront.engine import Renderer
@@ -63,6 +66,52 @@ def main():
         "note": "target 200 Mrays/s is for v5e-8 (8 chips); single-chip parity = vs_baseline*8",
     }
     print(json.dumps(result))
+
+
+def kernel_bench():
+    """Raw trace-kernel throughput (VKRT_BENCH_MODE=kernel): closest-hit
+    over coherent 720p primary blocks — the number kernel work moves."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vkrt_tpu import config as C
+    from vkrt_tpu.app.camera import Camera
+    from vkrt_tpu.rt.dense import trace_dense
+    from vkrt_tpu.utils import layout as L
+    from vkrt_tpu.wavefront.engine import (generate_rays,
+                                           load_scene_assets, make_backend,
+                                           tile)
+
+    flat, _, _ = load_scene_assets(SCENE, 64)
+    backend = make_backend(flat, "dense")
+    w, h = 1280, 704
+    cam = Camera(w, h)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+    o, d = generate_rays(jnp.asarray(cam.proj_inverse),
+                         jnp.asarray(cam.view_inverse), w, h)
+    oj = jnp.stack([tile(c) for c in o])
+    dj = L.normalize3(jnp.stack([tile(c) for c in d]))
+    n = oj.shape[1] * 128
+    tmax = jnp.full((oj.shape[1], 128), C.RAY_TMAX, jnp.float32)
+    tree = backend.tree
+    r = trace_dense(tree, oj, dj, tmax)
+    _ = float(jnp.sum(jnp.where(jnp.isfinite(r[0]), r[0], 0)))
+    best = 1e9
+    for _i in range(3):
+        t0 = time.perf_counter()
+        for _j in range(5):
+            r = trace_dense(tree, oj, dj, tmax)
+        _ = float(jnp.sum(jnp.where(jnp.isfinite(r[0]), r[0], 0)))
+        best = min(best, (time.perf_counter() - t0) / 5)
+    print(json.dumps({
+        "metric": "raw closest-hit kernel Mrays/s (720p coherent primaries)",
+        "value": round(n / best / 1e6, 2), "unit": "Mrays/s",
+        "vs_baseline": round(n / best / 1e6 / 200.0, 4),
+        "frame_ms": round(best * 1000, 1),
+    }))
 
 
 if __name__ == "__main__":
