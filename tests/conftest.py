@@ -48,12 +48,6 @@ def sponza_heap(sponza_model):
     return build_texture_heap(sponza_model.images)
 
 
-@pytest.fixture(scope="session")
-def sponza_device(sponza_flat, sponza_heap):
-    from vkrt_tpu.scene import scene_to_device
-    return scene_to_device(sponza_flat, sponza_heap)
-
-
 @pytest.fixture()
 def rng():
     # function-scoped: each test gets the same fresh stream, so outcomes

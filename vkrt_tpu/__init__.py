@@ -4,9 +4,9 @@ A ground-up JAX/XLA/Pallas re-design of the capabilities of jparimaa/vkrt
 (reference: /root/reference): Sponza glTF scene loading, on-device LBVH
 acceleration-structure construction, stackless BVH traversal + ray-triangle
 intersection, vectorized hit shading (4 point lights, hard shadows, metallic
-reflections), and a wavefront frame engine with compacted secondary-ray
-queues — replacing the Vulkan VK_KHR_ray_tracing pipeline, driver-built
-BLAS/TLAS, and shader-binding-table dispatch of the reference.
+reflections), and a wavefront frame engine over lane-major ray blocks —
+replacing the Vulkan VK_KHR_ray_tracing pipeline, driver-built BLAS/TLAS,
+and shader-binding-table dispatch of the reference.
 
 Layers (bottom-up), mirroring SURVEY.md §7:
   scene/     glTF ingest → JAX arrays         (ref: src/Model.{hpp,cpp})

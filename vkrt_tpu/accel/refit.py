@@ -76,7 +76,12 @@ def refit_clusters(tree: ClusterTree, matrix: jnp.ndarray) -> ClusterTree:
     sc_boxes = sc_boxes.at[0:3, :c2].set(sc_min.T)
     sc_boxes = sc_boxes.at[3:6, :c2].set(sc_max.T)
 
-    # Woop rows (36-47) + cluster centers (48-50) in the new frame
+    # Woop rows (36-47) + cluster centers (48-50) in the new frame.
+    # NOTE: recomputed in f32 on device — the initial host build uses
+    # f64 because the 3x3 inverse is precision-sensitive for sliver
+    # triangles. Acceptable: the woop path is epsilon-widened with an
+    # exact Möller–Trumbore fallback on rejects (rt/dense.py), so lost
+    # precision costs a few fallback lanes, not correctness.
     from vkrt_tpu.accel.clusters import ROWS, _woop_cols
     flat = lambda x: x.transpose(0, 2, 1).reshape(-1, 3)   # [C1p,3,K1]→[T',3]
     centers = (cl_min + cl_max) * 0.5                      # [C1p,3]

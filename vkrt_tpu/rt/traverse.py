@@ -33,7 +33,13 @@ from jax import lax
 from vkrt_tpu.accel.lbvh import BVH2
 from vkrt_tpu.rt.intersect import DET_EPS, safe_inv_dir
 
-STACK_DEPTH = 48
+# Worst-case LBVH depth: 30 levels from the 30-bit Morton hierarchy plus
+# log2(max duplicate run) from index tie-breaks (accel/lbvh.py) — 64 covers
+# duplicate runs up to 2^34 leaves, i.e. any representable scene. Push/pop
+# below still clamp consistently (pushes past the top drop the DEEPEST far
+# child rather than corrupting the stack) so an overflow could only cause
+# a conservative miss, never garbage pops — and at 64 it is unreachable.
+STACK_DEPTH = 64
 
 
 def _traverse_block(bvh: BVH2, origins, dirs, tmin, tmax, occlusion: bool):
@@ -103,11 +109,13 @@ def _traverse_block(bvh: BVH2, origins, dirs, tmin, tmax, occlusion: bool):
         far = jnp.where(near_is_l, kid[:, 1], kid[:, 0])
         one = jnp.where(go_l, kid[:, 0], kid[:, 1])
 
-        # push far child where both internal children hit
-        push_idx = jnp.minimum(sp, STACK_DEPTH - 1)
-        pushed = stack.at[rows, push_idx].set(far, mode="drop")
-        stack = jnp.where(both[:, None], pushed, stack)
-        sp = sp + (both & ~finished).astype(jnp.int32)
+        # push far child where both internal children hit; a full stack
+        # drops the push (and does NOT advance sp), keeping push/pop
+        # consistent — see STACK_DEPTH note above
+        push_ok = both & ~finished & (sp < STACK_DEPTH)
+        pushed = stack.at[rows, sp].set(far, mode="drop")
+        stack = jnp.where(push_ok[:, None], pushed, stack)
+        sp = sp + push_ok.astype(jnp.int32)
 
         need_pop = ~(go_l | go_r) | finished
         popped_sp = jnp.maximum(sp - 1, 0)

@@ -85,6 +85,9 @@ def flatten_model(model: Model, scale: float = SCENE_SCALE) -> FlatScene:
         # (ref: src/Raytracer.cpp:1424-1426 `std::max(index, 0)`)
         mr = max(mr, 0)
         nm = max(nm, 0)
+        # intentional deviation: the reference does NOT clamp base_color
+        # (a materialless submesh would index UB there); clamping to image
+        # 0 keeps the lookup in-bounds, like the safe-normalize deviation
         bc = max(bc, 0)
         sub_off.append(tri_offset)
         sub_cnt.append(sm.num_triangles)

@@ -172,7 +172,10 @@ def wavefront_rounds(backend, tex: TextureArrays, origins, dirs, lights,
     shape = (nb, L.LANES)
     accum = jnp.zeros((3,) + shape, jnp.float32)
     attenuation = jnp.ones(shape, jnp.float32)
-    active = jnp.ones(shape, dtype=bool)
+    # tile-padding rays park at FAR_SENTINEL (camera_ray_blocks /
+    # render_frame_sharded); they must neither trace nor count toward the
+    # Mrays/s metric (padding inflated it ~1% at non-tile-multiple sizes)
+    active = origins[0] != FAR_SENTINEL
     ray_count = jnp.zeros(shape, jnp.int32)
     lights = lights[:cfg.num_lights]
 
