@@ -107,3 +107,32 @@ def test_cluster_tree_shapes(scene):
     # padding slots map to -1
     n_real = 900
     assert (np.asarray(tree.leaf_tri) >= 0).sum() == n_real
+
+
+def test_dense_scales_past_64_superclusters():
+    """Generality past the round-1 cap (64 SC = 524,288 tris): a >600k-tri
+    scene must trace correctly — the driver-BVH-generality analogue
+    (ref: src/Raytracer.cpp:1027-1157 handles arbitrary geometry)."""
+    rng = np.random.default_rng(7)
+    n = 620_000                       # > 64 * 64 * 128
+    v0 = rng.uniform(-50, 50, (n, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    tree = build_clusters(jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+                          device=False)
+    assert tree.num_superclusters > 64
+
+    o, d = make_rays(n_rays=128, seed=13)
+    o = (o * 6.0).astype(np.float32)     # origins spread across the volume
+    tmax = np.full(o.shape[0], 1e3, np.float32)
+    t, slot, u, v = trace_dense(tree, jnp.asarray(o), jnp.asarray(d),
+                                jnp.asarray(tmax), block=128, interpret=True)
+    bt, btri, bu, bv = brute_closest(o, d, 0.001, 1e3, v0, e1, e2)
+    tri = np.where(np.asarray(slot) >= 0,
+                   np.asarray(tree.leaf_tri)[np.maximum(np.asarray(slot), 0)], -1)
+    hit = tri >= 0
+    np.testing.assert_array_equal(hit, btri >= 0)
+    assert hit.any()
+    both = hit & (btri >= 0)
+    np.testing.assert_allclose(np.asarray(t)[both], bt[both], rtol=1e-4,
+                               atol=1e-5)

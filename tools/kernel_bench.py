@@ -1,0 +1,156 @@
+"""Batched TPU kernel experiments — run as ONE process (single-tenant chip).
+
+Usage: python tools/kernel_bench.py [step ...]
+Steps (default: check closest attrs occl stats):
+  check    TPU kernel vs numpy brute force on 1 block of Sponza rays
+  closest  raw closest-hit throughput, 720p coherent primaries
+  attrs    closest-hit + fused attribute select (the production frame op)
+  occl     occlusion throughput
+  stats    gated/swept cluster counters at 720p
+  big      >64-supercluster scene built on device, traced + spot-checked
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vkrt_tpu import config as C
+from vkrt_tpu.app.camera import Camera
+from vkrt_tpu.rt.dense import trace_dense
+from vkrt_tpu.utils import layout as L
+from vkrt_tpu.wavefront.engine import (generate_rays, load_scene_assets,
+                                       make_backend, tile)
+
+SCENE = "/root/reference/models/sponza/Sponza.gltf"
+W, H = 1280, 704
+
+
+def camera_rays(w=W, h=H):
+    cam = Camera(w, h)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+    o, d = generate_rays(jnp.asarray(cam.proj_inverse),
+                         jnp.asarray(cam.view_inverse), w, h)
+    oj = jnp.stack([tile(c) for c in o])
+    dj = L.normalize3(jnp.stack([tile(c) for c in d]))
+    return oj, dj
+
+
+def force(r):
+    return float(jnp.sum(jnp.where(jnp.isfinite(r[0]), r[0], 0)))
+
+
+def bench(fn, reps=5, iters=3):
+    force(fn())
+    best = 1e9
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn()
+        force(r)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def main():
+    steps = sys.argv[1:] or ["check", "closest", "attrs", "occl", "stats"]
+    flat, _, _ = load_scene_assets(SCENE, 64)
+    backend = make_backend(flat, "dense")
+    tree = backend.tree
+    oj, dj = camera_rays()
+    n = oj.shape[1] * 128
+    tmax = jnp.full((oj.shape[1], 128), C.RAY_TMAX, jnp.float32)
+
+    if "check" in steps:
+        from vkrt_tpu.golden.cpu_tracer import closest_hit as brute
+        idx = np.asarray(flat.indices, np.int64)
+        v0 = flat.positions[idx[:, 0]]
+        e1 = flat.positions[idx[:, 1]] - v0
+        e2 = flat.positions[idx[:, 2]] - v0
+        ob, db = oj[:, 4:8], dj[:, 4:8]     # one 512-ray block
+        tm = tmax[4:8]
+        t, slot, u, v = trace_dense(tree, ob, db, tm)
+        on = np.asarray(L.from_cvec(ob))
+        dn = np.asarray(L.from_cvec(db))
+        bt, btri, bu, bv = brute(on, dn, 0.001, 1e3, v0, e1, e2)
+        tn = np.asarray(L.from_lanes(t))
+        hit = np.asarray(L.from_lanes(slot)) >= 0
+        ok_mask = hit == (btri >= 0)
+        both = hit & (btri >= 0)
+        t_ok = np.isclose(tn[both], bt[both], rtol=1e-4, atol=1e-5)
+        print(json.dumps({"step": "check", "hit_agree": float(ok_mask.mean()),
+                          "t_agree": float(t_ok.mean()),
+                          "hits": int(hit.sum())}))
+        assert ok_mask.mean() == 1.0 and t_ok.mean() > 0.999
+
+    if "closest" in steps:
+        dt = bench(lambda: trace_dense(tree, oj, dj, tmax))
+        print(json.dumps({"step": "closest", "mrays": round(n / dt / 1e6, 2),
+                          "ms": round(dt * 1e3, 2)}))
+
+    if "attrs" in steps:
+        dt = bench(lambda: trace_dense(tree, oj, dj, tmax,
+                                       with_attributes=True))
+        print(json.dumps({"step": "attrs", "mrays": round(n / dt / 1e6, 2),
+                          "ms": round(dt * 1e3, 2)}))
+
+    if "occl" in steps:
+        dt = bench(lambda: trace_dense(tree, oj, dj, tmax, occlusion=True))
+        print(json.dumps({"step": "occl", "mrays": round(n / dt / 1e6, 2),
+                          "ms": round(dt * 1e3, 2)}))
+
+    if "stats" in steps:
+        out = trace_dense(tree, oj, dj, tmax, stats=True)
+        st = np.asarray(out[-1])
+        print(json.dumps({"step": "stats",
+                          "gated_per_block": round(float(st[:, 0].mean()), 1),
+                          "swept_per_block": round(float(st[:, 1].mean()), 1),
+                          "gated_max": int(st[:, 0].max())}))
+
+    if "blocks" in steps:
+        for blk in (512, 1024, 2048):
+            dt = bench(lambda b=blk: trace_dense(tree, oj, dj, tmax, block=b))
+            da = bench(lambda b=blk: trace_dense(tree, oj, dj, tmax, block=b,
+                                                 with_attributes=True))
+            out = trace_dense(tree, oj, dj, tmax, block=blk, stats=True)
+            st = np.asarray(out[-1])
+            print(json.dumps({
+                "step": f"block{blk}",
+                "mrays": round(n / dt / 1e6, 2),
+                "mrays_attrs": round(n / da / 1e6, 2),
+                "swept_per_block": round(float(st[:, 1].mean()), 1)}))
+
+    if "big" in steps:
+        from vkrt_tpu.accel.clusters import build_clusters
+        rng = np.random.default_rng(7)
+        nt = 620_000
+        bv0 = rng.uniform(-50, 50, (nt, 3)).astype(np.float32)
+        be1 = rng.uniform(-0.5, 0.5, (nt, 3)).astype(np.float32)
+        be2 = rng.uniform(-0.5, 0.5, (nt, 3)).astype(np.float32)
+        big = build_clusters(jnp.asarray(bv0), jnp.asarray(be1),
+                             jnp.asarray(be2), device=True)
+        print("big tree:", big.num_superclusters, "superclusters")
+        ro = rng.uniform(-45, 45, (512, 3)).astype(np.float32)
+        rd = rng.normal(size=(512, 3)).astype(np.float32)
+        rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+        t, slot, u, v = trace_dense(big, L.to_cvec(jnp.asarray(ro)),
+                                    L.to_cvec(jnp.asarray(rd)),
+                                    L.to_lanes(jnp.full(512, 1e3, np.float32)))
+        from vkrt_tpu.golden.cpu_tracer import closest_hit as brute
+        bt, btri, _, _ = brute(ro, rd, 0.001, 1e3, bv0, be1, be2)
+        hit = np.asarray(L.from_lanes(slot)) >= 0
+        agree = float((hit == (btri >= 0)).mean())
+        print(json.dumps({"step": "big", "hit_agree": agree,
+                          "superclusters": big.num_superclusters}))
+        assert agree == 1.0
+
+
+if __name__ == "__main__":
+    main()

@@ -68,12 +68,12 @@ def _visibility_sample(backend, tex, proj_inverse, view_inverse,
 
     color = jnp.broadcast_to(jnp.asarray(CLEAR_COLOR)[:, None, None],
                              (3,) + shape)
-    live = jnp.ones(shape, dtype=bool)     # still needs a surface
-
+    # still needs a surface; padded rays (FAR origin) never become live
+    live = origins[0] != engine.FAR_SENTINEL
     for _round in range(MAX_DISCARD_ROUNDS):
-        to = L.where3(live, origins, jnp.full_like(origins, engine.FAR_SENTINEL))
-        tmax = jnp.full(shape, C.RAY_TMAX, jnp.float32)
-        t, u, v, attrs, hitm = backend.closest(to, dirs, tmax,
+        # dead rays park with tmax=0 (see wavefront.engine.wavefront_rounds)
+        tmax = jnp.where(live, C.RAY_TMAX, 0.0)
+        t, u, v, attrs, hitm = backend.closest(origins, dirs, tmax,
                                                interpret=interpret)
         hit = hitm & live
         pos, _, uv, _, mat_ids = shading.interpolate(attrs, u, v)

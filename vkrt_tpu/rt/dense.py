@@ -12,17 +12,26 @@ So rays never chase pointers. Instead, a grid of coherent ray blocks
 (one Pallas program per block of R rays) streams the scene through VMEM:
 
   phase 1  all supercluster AABBs (VMEM-resident) tested densely against
-           the block; OR-reduced over rays → scalar bitmask gates; gated
-           ids collected into an SMEM list in per-block front-to-back
-           order (precomputed in the XLA prologue).
-  phase 2  the gated list is walked with double-buffered DMA (slab i+1
-           in flight while slab i computes); per supercluster, its 64
-           cluster AABBs are dense-tested → cluster bitmask; a t-aware
-           recheck implements block-level early termination.
-  phase 3  for each gated cluster: Möller–Trumbore of all R rays against
-           its 128 triangles [R, 128] in one VPU sweep; best hits (and,
-           with `with_attributes`, all 36 per-corner shading attributes)
-           are committed with masked lane reductions — no gather anywhere.
+           the block; OR-reduced over rays → multi-word scalar bitmask
+           (any scene size), walked in per-block front-to-back order
+           (precomputed in the XLA prologue).
+  phase 2  per gated supercluster, its 64 VMEM-resident cluster AABBs are
+           dense-tested once; gated CLUSTER ids + a conservative scalar
+           t lower bound (block-origin-AABB→cluster-box distance) land in
+           an SMEM work list. (Round 1 instead DMA'd the full 1.7MB
+           supercluster slab per visit — HBM-bound at ~11 Mrays/s.)
+  phase 3  the work list is streamed with an NBUF-deep per-cluster DMA
+           pipeline (26KB each); a scalar prune against the block's
+           shrinking max-t (btmax) skips both the DMA and the sweep of
+           clusters no live ray can reach. Each surviving cluster:
+           Möller–Trumbore of all R rays against its 128 triangles
+           [R, 128] in one VPU sweep; best hits (and, with
+           `with_attributes`, all 36 per-corner shading attributes) are
+           committed with masked lane reductions — no gather anywhere.
+
+Dead rays park with tmax=0 (wavefront/engine.py): the `t_s > TMIN` gate
+clause makes them invisible to all gating, so sparse secondary-ray
+wavefronts cost only their live blocks — compaction without a sort.
 
 I/O uses lane-major layouts ([3, Nb, 128] vectors / [Nb, 128] scalars,
 see utils/layout.py): narrow [N,1]/[N,3] shapes pad 42-128x under TPU
@@ -61,12 +70,13 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                   # outputs (lane-major)
                   t_out, slot_out, u_out, v_out, attr_out, stats_out,
                   # scratch
-                  tris, sem, gated, counters,
-                  t_s, slot_s, u_s, v_s, attr_s, b_mat,
+                  tris, sem, gated, tlb, started, nlist, counters, sc_mask,
+                  btmax, t_s, slot_s, u_s, v_s, attr_s, b_mat,
                   *, n_sc: int, occlusion: bool, with_attributes: bool,
                   stats: bool, woop: bool = False):
     G = o_ref.shape[2]            # ray groups of 128 lanes
     R = G * LANES
+    NBUF = tris.shape[0]          # per-cluster DMA pipeline depth
 
     def to_sublanes(rows):        # [G,128] lane-major → [R,1] sublane-major
         # Mosaic rejects the direct (G,128)->(R,1) shape cast; per-group
@@ -96,14 +106,29 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     slot_s[:] = jnp.full((R, 1), -1, jnp.int32)
     u_s[:] = jnp.zeros((R, 1), jnp.float32)
     v_s[:] = jnp.zeros((R, 1), jnp.float32)
+    btmax[0] = jnp.max(tmax)
+    nlist[0] = 0
     if with_attributes:
         attr_s[:] = jnp.zeros_like(attr_s)
     if stats:
         counters[0] = 0
         counters[1] = 0
 
+    # Block origin AABB (scalars): with the engine's tmax=0 ray parking,
+    # distance from this box to a cluster box is a CONSERVATIVE lower bound
+    # on any live ray's hit t — the scalar prune used at DMA-issue and
+    # sweep time against the block's shrinking max-t (btmax).
+    oxmin, oxmax = jnp.min(ox), jnp.max(ox)
+    oymin, oymax = jnp.min(oy), jnp.max(oy)
+    ozmin, ozmax = jnp.min(oz), jnp.max(oz)
+
     def slab_any(bmin_x, bmin_y, bmin_z, bmax_x, bmax_y, bmax_z):
-        """Dense slab test rays x boxes ([R,1] vs [1,L]) → any-hit per box [1,L]."""
+        """Dense slab test rays x boxes ([R,1] vs [1,L]) → any-hit per box [1,L].
+
+        The `t_s > TMIN` clause removes parked rays (engine passes tmax=0
+        for inactive lanes) and occlusion-blocked rays (t_s pinned to TMIN)
+        from all gating — dead rays gate nothing, so all-dead blocks cost
+        only this one sweep."""
         t0x = (bmin_x - ox) * ix
         t1x = (bmax_x - ox) * ix
         t0y = (bmin_y - oy) * iy
@@ -114,7 +139,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                          jnp.minimum(t0z, t1z))
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
-        hit = (tn <= tf) & (tf >= TMIN) & (tn <= t_s[:])
+        hit = (tn <= tf) & (tf >= TMIN) & (tn <= t_s[:]) & (t_s[:] > TMIN)
         return jnp.any(hit, axis=0, keepdims=True)
 
     def hit_bitmask(hits):
@@ -127,36 +152,10 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         hi = jnp.sum(jnp.where(hits & (lane >= 32) & (lane < 64), w, 0))
         return lo, hi
 
-    def test_bit(lo, hi, i):
-        word = jnp.where(i < 32, lo, hi)
-        return (jax.lax.shift_right_logical(word, i & 31) & 1) == 1
-
-    sc_iota = jax.lax.broadcasted_iota(jnp.int32, (1, sc_ref.shape[1]), 1)
-
-    def sc_gate(s):
-        """Recompute the supercluster-s gate against the CURRENT t_s.
-
-        Mosaic cannot scalar-read VMEM at a dynamic lane, so the 6 box
-        components are extracted with iota-compare masked reductions.
-        """
-        def comp(row):
-            return jnp.sum(jnp.where(sc_iota == s, sc_ref[row:row + 1, :], 0.0))
-        t0x = (comp(0) - ox) * ix
-        t1x = (comp(3) - ox) * ix
-        t0y = (comp(1) - oy) * iy
-        t1y = (comp(4) - oy) * iy
-        t0z = (comp(2) - oz) * iz
-        t1z = (comp(5) - oz) * iz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                         jnp.minimum(t0z, t1z))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
-        return jnp.any((tn <= tf) & (tf >= TMIN) & (tn <= t_s[:]))
-
-    def tri_block_slot(slot, c, base_slot):
-        """Möller–Trumbore: all R rays vs the 128 tris of VMEM cluster c
-        in double-buffer slab `slot`."""
-        chunk = tris[slot, c]                 # [ROWS, K1]
+    def tri_block(slot, base_slot):
+        """Intersect all R rays against the 128 tris of pipeline buffer
+        `slot` (one cluster, [ROWS, K1]); base_slot = global cluster id."""
+        chunk = tris[slot]                    # [ROWS, K1]
         if woop:
             # EXPERIMENTAL (off by default): Woop-transform intersection —
             # Y = X @ B maps every ray into every triangle's unit frame in
@@ -227,6 +226,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
             def _():
                 slot_s[:] = jnp.where(anyhit, 1, slot_s[:])
                 t_s[:] = jnp.where(anyhit, TMIN, t_s[:])  # culls later gates
+                btmax[0] = jnp.max(t_s[:])
             return
 
         tm = jnp.min(jnp.where(ok, tt, _INF), axis=1, keepdims=True)  # [R,1]
@@ -241,109 +241,136 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
             u_sel = jnp.sum(jnp.where(onehot, uu, 0.0), axis=1, keepdims=True)
             v_sel = jnp.sum(jnp.where(onehot, vv, 0.0), axis=1, keepdims=True)
             t_s[:] = jnp.where(better, tm, t_s[:])
+            btmax[0] = jnp.max(t_s[:])
             slot_s[:] = jnp.where(better, base_slot * K1 + lane_sel, slot_s[:])
             u_s[:] = jnp.where(better, u_sel, u_s[:])
             v_s[:] = jnp.where(better, v_sel, v_s[:])
             if with_attributes:
-                for r in range(0, 36):
-                    a_sel = jnp.sum(jnp.where(onehot, chunk[r:r + 1, :], 0.0),
-                                    axis=1, keepdims=True)
-                    attr_s[:, r:r + 1] = jnp.where(
-                        better, a_sel, attr_s[:, r:r + 1])
+                # all 36 shading attributes of each ray's winning lane in
+                # ONE MXU matmul: onehot[R,K1] @ attrs[36,K1]^T → [R,36]
+                # (36 VPU masked reduces per commit made the attrs path
+                # 2x slower than the plain trace — measured round 2)
+                sel = jax.lax.dot_general(
+                    onehot.astype(jnp.float32), chunk[0:36, :],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                attr_s[:] = jnp.where(better, sel, attr_s[:])
 
-    # One dense pass over ALL supercluster boxes → scalar bitmask. This is
-    # the coarse (t-unaware) cull; the per-supercluster recheck below
-    # implements early termination as t_s shrinks.
-    sc_lo, sc_hi = hit_bitmask(
-        slab_any(sc_ref[0:1, :], sc_ref[1:2, :], sc_ref[2:3, :],
-                 sc_ref[3:4, :], sc_ref[4:5, :], sc_ref[5:6, :]))
+    # One dense pass over ALL supercluster boxes → multi-word scalar
+    # bitmask in SMEM (32 superclusters per i32 word — scenes of any size,
+    # the driver-BVH generality analogue of ref Raytracer.cpp:1027-1157).
+    # This is the coarse (t-unaware) cull; the per-supercluster recheck
+    # below implements early termination as t_s shrinks.
+    sc_hits = slab_any(sc_ref[0:1, :], sc_ref[1:2, :], sc_ref[2:3, :],
+                       sc_ref[3:4, :], sc_ref[4:5, :], sc_ref[5:6, :])
+    sc_lane = jax.lax.broadcasted_iota(jnp.int32, sc_hits.shape, 1)
+    sc_w = jnp.left_shift(jnp.int32(1), sc_lane & 31)
+    n_words = sc_mask.shape[0]
+    for w in range(n_words):
+        in_word = (sc_lane >= w * 32) & (sc_lane < (w + 1) * 32)
+        sc_mask[w] = jnp.sum(jnp.where(sc_hits & in_word, sc_w, 0))
 
-    # Prepass: collect coarsely-gated superclusters (in front-to-back visit
-    # order) into an SMEM list, so the main loop can double-buffer DMA —
-    # while supercluster i streams triangles through the VPU, supercluster
-    # i+1's slab is already in flight.
-    def pre_body(k, cnt):
+    def test_sc(s):
+        word = sc_mask[jax.lax.shift_right_logical(s, 5)]
+        return (jax.lax.shift_right_logical(word, s & 31) & 1) == 1
+
+    def ctz32(low):
+        # branchless scalar count-trailing-zeros of a power-of-two
+        # (Mosaic has no scalar popcount)
+        c = jnp.int32(0)
+        for shift in (16, 8, 4, 2, 1):
+            mask = (jnp.int32(1) << shift) - 1
+            z = (low & mask) == 0
+            c = c + jnp.where(z, shift, 0)
+            low = jnp.where(z, jax.lax.shift_right_logical(low, shift), low)
+        return c
+
+    # Prepass: walk gated superclusters in front-to-back order; per SC,
+    # one dense cluster-box test emits the gated CLUSTERS (global ids +
+    # their conservative t lower bound) into the SMEM work list. The main
+    # loop below streams INDIVIDUAL clusters (26KB each) — round 1 DMA'd
+    # the whole 1.7MB supercluster slab per visit and was HBM-bound.
+    cl_lane = jax.lax.broadcasted_iota(jnp.int32, (1, K2), 1)
+
+    def pre_body(k, _):
         s = order_ref[0, 0, k]
-        bit = (s >= 0) & test_bit(sc_lo, sc_hi, s)
 
-        @pl.when(bit)
+        @pl.when((s >= 0) & test_sc(s))
         def _():
-            gated[cnt] = s
-        return cnt + bit.astype(jnp.int32)
-
-    count = jax.lax.fori_loop(0, n_sc, pre_body, jnp.int32(0))
-
-    def start_dma(i, slot):
-        s = gated[i]
-        return pltpu.make_async_copy(
-            tri_hbm.at[pl.ds(s * K2, K2)], tris.at[slot], sem.at[slot])
-
-    @pl.when(count > 0)
-    def _():
-        start_dma(0, 0).start()
-
-    def sc_body(i, _):
-        # DMA start/wait pairing depends ONLY on `i < count` — it must be
-        # deterministic: skipping a wait for a started prefetch leaves the
-        # semaphore signaled into the next grid step and wedges the core.
-        # Early-termination conditions gate only the triangle work below.
-        @pl.when(i < count)
-        def _():
-            slot = jax.lax.rem(i, 2)
-            s = gated[i]
-
-            @pl.when(i + 1 < count)
-            def _():
-                start_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
-
             cb = cl_ref[s]                    # [8, K2]
             cl_any = slab_any(cb[0:1, :], cb[1:2, :], cb[2:3, :],
                               cb[3:4, :], cb[4:5, :], cb[5:6, :])
-            cl_lo, cl_hi = hit_bitmask(cl_any)
-            start_dma(i, slot).wait()
+            # conservative per-cluster t lower bound: distance between the
+            # block origin AABB and the cluster box (all rays are unit-dir)
+            gx = jnp.maximum(jnp.maximum(cb[0:1, :] - oxmax,
+                                         oxmin - cb[3:4, :]), 0.0)
+            gy = jnp.maximum(jnp.maximum(cb[1:2, :] - oymax,
+                                         oymin - cb[4:5, :]), 0.0)
+            gz = jnp.maximum(jnp.maximum(cb[2:3, :] - ozmax,
+                                         ozmin - cb[5:6, :]), 0.0)
+            dist = jnp.sqrt(gx * gx + gy * gy + gz * gz)   # [1,K2]
+            cl_lo, cl_hi = hit_bitmask(cl_any & (dist < btmax[0]))
 
-            # t-aware recheck (early termination): the DMA may be wasted
-            # for a pruned supercluster, but it was overlapped anyway
-            work = sc_gate(s)
-            if occlusion:
-                work = work & jnp.any(slot_s[:] < 0)
+            def word_emit(word_base, mask0):
+                def body(m):
+                    c = ctz32(m & (-m)) + word_base
+                    cnt = nlist[0]
+                    gated[cnt] = s * K2 + c
+                    tlb[cnt] = jnp.sum(jnp.where(cl_lane == c, dist, 0.0))
+                    nlist[0] = cnt + 1
+                    return m & (m - 1)
 
-            @pl.when(work)
-            def _():
-                if stats:
-                    counters[0] = counters[0] + 1
+                jax.lax.while_loop(lambda m: m != 0, body, mask0)
 
-                # walk only the SET bits of the cluster mask (ctz loop) —
-                # a fori over all 64 slots wastes ~60 skipped iterations
-                # of loop+branch overhead per gated supercluster
-                def ctz32(low):
-                    # branchless scalar count-trailing-zeros of a
-                    # power-of-two (Mosaic has no scalar popcount)
-                    c = jnp.int32(0)
-                    for shift in (16, 8, 4, 2, 1):
-                        mask = (jnp.int32(1) << shift) - 1
-                        z = (low & mask) == 0
-                        c = c + jnp.where(z, shift, 0)
-                        low = jnp.where(z,
-                                        jax.lax.shift_right_logical(low, shift),
-                                        low)
-                    return c
-
-                def word_body(word_base, mask0):
-                    def body(m):
-                        c = ctz32(m & (-m)) + word_base
-                        if stats:
-                            counters[1] = counters[1] + 1
-                        tri_block_slot(slot, c, s * K2 + c)
-                        return m & (m - 1)
-
-                    jax.lax.while_loop(lambda m: m != 0, body, mask0)
-
-                word_body(0, cl_lo)
-                word_body(32, cl_hi)
+            word_emit(0, cl_lo)
+            word_emit(32, cl_hi)
         return 0
 
-    jax.lax.fori_loop(0, n_sc, sc_body, 0)
+    jax.lax.fori_loop(0, n_sc, pre_body, 0)
+    count = nlist[0]
+    if stats:
+        counters[0] = count
+
+    def start_dma(i, slot):
+        return pltpu.make_async_copy(
+            tri_hbm.at[gated[i]], tris.at[slot], sem.at[slot])
+
+    # NBUF-deep cluster pipeline. DMA start/wait pairing must be
+    # deterministic (an unwaited started DMA wedges the core), but the
+    # issue decision itself may depend on the moving btmax: the decision
+    # is RECORDED in started[j] at issue time and the wait reads the same
+    # flag — start and wait always agree.
+    for j in range(NBUF - 1):
+        @pl.when(j < count)
+        def _(j=j):
+            started[j] = 1
+            start_dma(j, j % NBUF).start()
+
+    def cl_body(i, _):
+        j = i + NBUF - 1
+
+        @pl.when(j < count)
+        def _():
+            go = tlb[j] < btmax[0]            # issue-time scalar prune
+            started[j] = go.astype(jnp.int32)
+
+            @pl.when(go)
+            def _():
+                start_dma(j, jax.lax.rem(j, NBUF)).start()
+
+        @pl.when(started[i] == 1)
+        def _():
+            slot = jax.lax.rem(i, NBUF)
+            start_dma(i, slot).wait()
+
+            @pl.when(tlb[i] < btmax[0])       # sweep-time scalar prune
+            def _():
+                if stats:
+                    counters[1] = counters[1] + 1
+                tri_block(slot, gated[i])
+        return 0
+
+    jax.lax.fori_loop(0, count, cl_body, 0)
 
     # write lane-major outputs (one relayout per output per block)
     t_out[0] = t_s[:].reshape(G, LANES)
@@ -379,8 +406,9 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     assert N % block == 0, f"ray count {N} not a multiple of block {block}"
     G = block // LANES
     n_sc = tree.num_superclusters
-    assert n_sc <= 64, "bitmask gating supports at most 64 superclusters"
     c2p = tree.sc_boxes.shape[1]
+    NBUF = 4                          # cluster DMA pipeline depth
+    maxc = tree.tri_data.shape[0]     # work-list capacity: every cluster
     nblocks = N // block
 
     # Per-block front-to-back supercluster visit order: entry distance of
@@ -454,10 +482,15 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, K2, ROWS, K1), jnp.float32),   # double-buffered slabs
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((64,), jnp.int32),                # gated supercluster list
+            pltpu.VMEM((NBUF, ROWS, K1), jnp.float32),    # cluster DMA pipeline
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SMEM((maxc,), jnp.int32),              # gated cluster list
+            pltpu.SMEM((maxc,), jnp.float32),            # conservative t bounds
+            pltpu.SMEM((maxc,), jnp.int32),              # DMA-issued flags
+            pltpu.SMEM((1,), jnp.int32),                 # work-list length
             pltpu.SMEM((2,), jnp.int32),                 # visit counters
+            pltpu.SMEM((order_w // 32,), jnp.int32),     # supercluster hit words
+            pltpu.SMEM((1,), jnp.float32),               # block max-t (btmax)
             pltpu.VMEM((block, 1), jnp.float32),          # t state
             pltpu.VMEM((block, 1), jnp.int32),            # slot state
             pltpu.VMEM((block, 1), jnp.float32),          # u state

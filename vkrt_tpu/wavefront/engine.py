@@ -182,10 +182,13 @@ def wavefront_rounds(backend, tex: TextureArrays, origins, dirs, lights,
     for _depth in range(cfg.max_depth):
         # named scopes surface as ranges in jax.profiler traces — the
         # DebugMarker beginLabel/endLabel analogue (ref: DebugMarker.cpp)
+        # dead rays park with tmax=0 (NOT a far origin): they can't hit,
+        # can't gate any cluster (dense kernel's t_s > TMIN clause), and
+        # keep the block's origin AABB tight so the scalar t-prune works —
+        # all-dead blocks cost one box sweep
         with jax.named_scope(f"trace_closest_d{_depth}"):
-            to = L.where3(active, origins, jnp.full_like(origins, FAR_SENTINEL))
-            tmax = jnp.full(shape, C.RAY_TMAX, jnp.float32)
-            t, u, v, attrs, hitm = backend.closest(to, dirs, tmax,
+            tmax = jnp.where(active, C.RAY_TMAX, 0.0)
+            t, u, v, attrs, hitm = backend.closest(origins, dirs, tmax,
                                                    interpret=interpret)
         ray_count = ray_count + active.astype(jnp.int32)
         hit = hitm & active
@@ -215,19 +218,34 @@ def wavefront_rounds(backend, tex: TextureArrays, origins, dirs, lights,
         pn = shading.perturbed_normal(normal, tangent, map_n)
 
         total_light = jnp.zeros(shape, jnp.float32)
-        for li in range(cfg.num_lights):
-            ldir, ldist, power = shading.light_geometry(pos, lights[li])
-            ndotl = L.dot3(pn, ldir)
-            diffuse = jnp.clip(ndotl, 0.0, 1.0)
+        nl = cfg.num_lights
+        geo = [shading.light_geometry(pos, lights[li]) for li in range(nl)]
+        ndotls = [L.dot3(pn, g[0]) for g in geo]
+        occs = [None] * nl
+        if cfg.enable_shadows and nl > 0:
+            # ALL lights' shadow rays in ONE occlusion dispatch (concat
+            # along the block axis — each light's rays keep their tile
+            # coherence): one kernel launch + one trace prologue instead
+            # of num_lights of each. Rays a hit doesn't cast (N·L<=0 or
+            # miss) park with tmax=0. Ref contract: shader.rchit:119-152.
+            casts = [hit & (nd > 0) for nd in ndotls]
+            with jax.named_scope(f"trace_shadow_d{_depth}"):
+                so = jnp.concatenate([pos] * nl, axis=1)      # [3,L*Nb,128]
+                sd = jnp.concatenate([g[0] for g in geo], axis=1)
+                st = jnp.concatenate(                          # [L*Nb,128]
+                    [jnp.where(c, g[1], 0.0) for c, g in zip(casts, geo)],
+                    axis=0)
+                occ_all = backend.occluded(so, sd, st, interpret=interpret)
+            occs = jnp.split(occ_all, nl, axis=0)
+            for c in casts:
+                ray_count = ray_count + c.astype(jnp.int32)
+        for li in range(nl):
+            diffuse = jnp.clip(ndotls[li], 0.0, 1.0)
             mult = jnp.ones(shape, jnp.float32)
             if cfg.enable_shadows:
-                with jax.named_scope(f"trace_shadow_d{_depth}_l{li}"):
-                    cast = hit & (ndotl > 0)
-                    so = L.where3(cast, pos, jnp.full_like(pos, FAR_SENTINEL))
-                    occ = backend.occluded(so, ldir, ldist, interpret=interpret)
-                ray_count = ray_count + cast.astype(jnp.int32)
-                mult = jnp.where(cast & occ, C.SHADOW_MULTIPLIER, 1.0)
-            total_light = total_light + diffuse * power * mult
+                cast = hit & (ndotls[li] > 0)
+                mult = jnp.where(cast & occs[li], C.SHADOW_MULTIPLIER, 1.0)
+            total_light = total_light + diffuse * geo[li][2] * mult
 
         hit_value = base * (total_light * attenuation)[None] + base * C.AMBIENT
 
