@@ -36,7 +36,10 @@ def main():
     # setup bounded (sampling COST is resolution-independent — gather count
     # per ray is fixed — so the Mrays/s metric is unaffected)
     texdim = int(os.environ.get("VKRT_BENCH_TEXDIM", "512"))
-    renderer = Renderer(SCENE, cfg, backend=backend, max_texture_dim=texdim)
+    # quantize=True: u8 framebuffer + scalar ray count leave the device
+    # (the f32 image alone was ~1.1s/frame of tunnel transfer)
+    renderer = Renderer(SCENE, cfg, backend=backend, max_texture_dim=texdim,
+                        quantize=True)
 
     cam = Camera(cfg.width, cfg.height)
     cam.set_position(C.CAMERA_START_POSITION)
@@ -45,12 +48,20 @@ def main():
     # warm-up (compile)
     fb, rays = renderer.render(cam)
 
+    # frames-in-flight (runtime.FrameScheduler = the reference's
+    # 3-swapchain-image pipelining): submit overlaps device execution
+    # with host bookkeeping + framebuffer download of earlier frames
+    from vkrt_tpu.runtime import FrameScheduler
     reps = int(os.environ.get("VKRT_BENCH_REPS", "3"))
+    sched = FrameScheduler(inflight=3)
     t0 = time.perf_counter()
     total_rays = 0
     for _ in range(reps):
-        fb, rays = renderer.render(cam)
-        total_rays += rays
+        retired = sched.submit(renderer.render_async, cam)
+        if retired is not None:
+            total_rays += int(retired[1][1])
+    for _idx, out in sched.drain():
+        total_rays += int(out[1])
     dt = (time.perf_counter() - t0) / reps
 
     mrays = (total_rays / reps) / dt / 1e6
@@ -65,7 +76,40 @@ def main():
         "chips": 1,
         "note": "target 200 Mrays/s is for v5e-8 (8 chips); single-chip parity = vs_baseline*8",
     }
+    if os.environ.get("VKRT_BENCH_REBUILD", "1") == "1" and backend == "dense":
+        result.update(rebuild_bench(renderer))
     print(json.dumps(result))
+
+
+def rebuild_bench(renderer):
+    """Per-frame accel-update costs (BASELINE config-5 contract; the
+    driver-build analogue is ref src/Raytracer.cpp:1146-1280)."""
+    import jax.numpy as jnp
+
+    def force_tree(tree):
+        return float(jnp.sum(tree.sc_boxes[0, :1]))
+
+    m = jnp.eye(4)
+    from vkrt_tpu.accel.refit import refit_clusters
+    force_tree(refit_clusters(renderer.backend.tree, m))   # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        t = refit_clusters(renderer.backend.tree, m)
+    force_tree(t)
+    refit_ms = (time.perf_counter() - t0) / 3 * 1000.0
+
+    from vkrt_tpu.wavefront.engine import Renderer
+    full = Renderer(SCENE, renderer.cfg, backend="dense", rebuild="full",
+                    max_texture_dim=int(os.environ.get("VKRT_BENCH_TEXDIM",
+                                                       "512")))
+    force_tree(full._full_rebuild(m))                      # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        t = full._full_rebuild(m)
+    force_tree(t)
+    full_ms = (time.perf_counter() - t0) / 3 * 1000.0
+    return {"rebuild_refit_ms": round(refit_ms, 1),
+            "rebuild_full_ms": round(full_ms, 1)}
 
 
 def kernel_bench():

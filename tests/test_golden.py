@@ -99,3 +99,31 @@ def test_determinism(subset):
     fb1, _ = render_frame(*args)
     fb2, _ = render_frame(*args)
     np.testing.assert_array_equal(np.asarray(fb1), np.asarray(fb2))
+
+
+def test_full_scene_dense_backend_vs_native_oracle(sponza_model):
+    """The PRODUCTION dense backend on the PRODUCTION scene: all 103
+    submeshes, shadows on, against the independent native C++ BVH oracle
+    (golden/cpu_tracer.py accel="native" exists precisely to make
+    full-scene golden frames tractable). Interpret mode on CPU CI; the
+    same kernel runs compiled on TPU (tools/kernel_bench.py check)."""
+    cfg = dataclasses.replace(C.config2_shadows(), width=128, height=96)
+    flat = flatten_model(sponza_model)
+    heap = build_texture_heap(sponza_model.images)
+    tex = TextureArrays(
+        texels_quad=jnp.asarray(heap.quad_texels()),
+        level_offset=jnp.asarray(heap.level_offset),
+        level_width=jnp.asarray(heap.level_width),
+        level_height=jnp.asarray(heap.level_height),
+    )
+    backend = make_backend(flat, "dense")
+    cam = Camera(cfg.width, cfg.height)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+    fb, rays = render_frame(backend, tex, jnp.asarray(cam.proj_inverse),
+                            jnp.asarray(cam.view_inverse),
+                            jnp.asarray(C.LIGHT_POSITIONS), cfg,
+                            interpret=True)
+    golden = render_golden(flat, heap, cam.proj_inverse, cam.view_inverse,
+                           cfg, accel="native")
+    assert rmse(np.asarray(fb), golden) <= 1e-3

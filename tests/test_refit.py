@@ -21,14 +21,9 @@ def test_identity_refit_is_noop(rng):
     tree2 = refit_clusters(tree, jnp.eye(4))
     np.testing.assert_allclose(np.asarray(tree2.sc_boxes),
                                np.asarray(tree.sc_boxes), atol=1e-5)
-    # geometry + attribute rows are exact under identity; the Woop rows
-    # (36-47) are recomputed in f32 by refit but built in f64 on the host
-    # path — compare them loosely (they can be huge for sliver triangles)
+    # geometry + attribute rows are exact under identity
     np.testing.assert_allclose(np.asarray(tree2.tri_data)[:, :36],
                                np.asarray(tree.tri_data)[:, :36], atol=1e-5)
-    np.testing.assert_allclose(np.asarray(tree2.tri_data)[:, 36:48],
-                               np.asarray(tree.tri_data)[:, 36:48],
-                               rtol=1e-2, atol=1e-2)
 
 
 def test_translated_refit_traces_correctly(rng):

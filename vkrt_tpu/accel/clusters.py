@@ -25,14 +25,9 @@ Build is fully jittable. Geometry rows in `tri_data` (f32[C1, ROWS, 128]):
  18-19  uv0         20-21 uv1          22-23 uv2
  24-26  t0.xyz      27-29 t1.xyz       30-32 t2.xyz      (vertex tangents)
  33     base-color image id            34 metallic-roughness image id
- 35     normal image id
- 36-44  W row-major (the Woop affine world→unit-triangle transform,
-        W = [e1 e2 n]^-1 with n = e1xe2; zero for degenerate triangles)
- 45-47  W·v0 (the affine translation part)
-Attribute rows let the trace kernel select shading inputs with masked lane
-reductions instead of post-trace gathers (gathers are the enemy, above);
-the Woop rows let the kernel run ray-triangle intersection as one MXU
-matmul per cluster plus ~15 VPU ops (vs ~45 for Möller-Trumbore).
+ 35     normal image id                36-39 pad (sublane alignment)
+Attribute rows let the trace kernel select shading inputs with one MXU
+matmul instead of post-trace gathers (gathers are the enemy, above).
 """
 
 from __future__ import annotations
@@ -47,7 +42,7 @@ from vkrt_tpu.accel.lbvh import morton30
 
 K1 = 128   # triangles per cluster (== VPU lane width)
 K2 = 64    # clusters per supercluster
-ROWS = 52  # rows: 36 attr + 12 Woop (local frame) + 3 cluster center + pad
+ROWS = 40  # rows: 36 attr + 4 pad (sublane alignment)
 
 _INF = 3.0e38
 
@@ -122,33 +117,6 @@ def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
 
 
 
-def _woop_cols(xp, v0, e1, e2, center=None):
-    """[Tp,12]: Woop transform W (row-major 9) + W·(v0−center) (3).
-    W = [e1 e2 n]^-1 with n = e1×e2 (det = |n|²); zero for degenerate
-    triangles. `center` (per-tri [Tp,3], the owning cluster's AABB
-    center) keeps the affine translation small — the global form cancels
-    catastrophically for rays far from sliver triangles. Works for numpy
-    and jax.numpy alike."""
-    def cross(a, b):
-        return (a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
-                a[:, 0] * b[:, 2] - a[:, 2] * b[:, 0],
-                a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0])
-    nx, nyn, nz = cross(e1, e2)
-    nyn = -nyn  # cross helper computes (a1b2-a2b1, a0b2-a2b0, a0b1-a1b0)
-    n = xp.stack([nx, nyn, nz], axis=1)
-    det = nx * nx + nyn * nyn + nz * nz
-    inv = xp.where(det > 1e-24, 1.0 / xp.where(det == 0, 1.0, det), 0.0)[:, None]
-    r0x, r0y, r0z = cross(e2, n)
-    r0 = xp.stack([r0x, -r0y, r0z], axis=1) * inv
-    r1x, r1y, r1z = cross(n, e1)
-    r1 = xp.stack([r1x, -r1y, r1z], axis=1) * inv
-    r2 = n * inv
-    vref = v0 if center is None else v0 - center
-    wv0 = xp.stack([(r0 * vref).sum(axis=1), (r1 * vref).sum(axis=1),
-                    (r2 * vref).sum(axis=1)], axis=1)
-    return xp.concatenate([r0, r1, r2, wv0], axis=1).astype(xp.float32)
-
-
 @partial(jax.jit, static_argnames=("with_attributes",))
 def _assemble(v0, e1, e2, order, attrs=None, with_attributes: bool = False) -> ClusterTree:
     T = v0.shape[0]
@@ -208,11 +176,6 @@ def _assemble(v0, e1, e2, order, attrs=None, with_attributes: bool = False) -> C
                  lanes(_pad_rows(a["mat"][order].astype(jnp.float32), Tp))]
     else:
         rows += [jnp.zeros((C1, 27, K1), jnp.float32)]
-    centers_j = (cl_min[:C1] + cl_max[:C1]) * 0.5
-    centers_j = jnp.where(jnp.isfinite(centers_j), centers_j, 0.0)
-    tri_centers_j = jnp.repeat(centers_j, K1, axis=0)
-    rows += [lanes(_woop_cols(jnp, sv0, se1, se2, tri_centers_j))]  # 36-47
-    rows += [lanes(tri_centers_j)]                                  # 48-50
     tri_data = jnp.concatenate(rows, axis=1)           # [C1, used, K1]
     if tri_data.shape[1] < ROWS:
         tri_data = jnp.concatenate(
@@ -294,17 +257,6 @@ def _assemble_host(v0, e1, e2, order, attrs=None,
         rows.append(lanes(pad(a["mat"][order].astype(np.float32), Tp)))
     else:
         rows.append(np.zeros((C1, 27, K1), np.float32))
-    # float64 on the host path: the 3x3 inverse is precision-sensitive
-    # for sliver triangles; the local frame (cluster-center-relative
-    # translation) avoids the global-form cancellation
-    centers = ((cl_min[:C1] + cl_max[:C1]) * 0.5)            # [C1,3]
-    centers = np.where(np.isfinite(centers), centers, 0.0).astype(np.float64)
-    tri_centers = np.repeat(centers, K1, axis=0)             # [Tp,3]
-    rows.append(lanes(_woop_cols(np, sv0.astype(np.float64),
-                                 se1.astype(np.float64),
-                                 se2.astype(np.float64),
-                                 tri_centers)))              # rows 36-47
-    rows.append(lanes(tri_centers.astype(np.float32)))       # rows 48-50
     tri_data = np.concatenate(rows, axis=1)
     if tri_data.shape[1] < ROWS:
         tri_data = np.concatenate(

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from vkrt_tpu.accel.clusters import K1, K2, ClusterTree
+from vkrt_tpu.accel.clusters import K1, K2, ROWS, ClusterTree
 
 _INF = 3.0e38
 
@@ -76,21 +76,6 @@ def refit_clusters(tree: ClusterTree, matrix: jnp.ndarray) -> ClusterTree:
     sc_boxes = sc_boxes.at[0:3, :c2].set(sc_min.T)
     sc_boxes = sc_boxes.at[3:6, :c2].set(sc_max.T)
 
-    # Woop rows (36-47) + cluster centers (48-50) in the new frame.
-    # NOTE: recomputed in f32 on device — the initial host build uses
-    # f64 because the 3x3 inverse is precision-sensitive for sliver
-    # triangles. Acceptable: the woop path is epsilon-widened with an
-    # exact Möller–Trumbore fallback on rejects (rt/dense.py), so lost
-    # precision costs a few fallback lanes, not correctness.
-    from vkrt_tpu.accel.clusters import ROWS, _woop_cols
-    flat = lambda x: x.transpose(0, 2, 1).reshape(-1, 3)   # [C1p,3,K1]→[T',3]
-    centers = (cl_min + cl_max) * 0.5                      # [C1p,3]
-    centers = jnp.where(jnp.isfinite(centers), centers, 0.0)
-    tri_centers = jnp.repeat(centers, K1, axis=0)
-    woop = _woop_cols(jnp, flat(v0), flat(e1), flat(e2), tri_centers)
-    woop = woop.reshape(c1p, K1, 12).transpose(0, 2, 1)    # [C1p,12,K1]
-    cen_rows = tri_centers.reshape(c1p, K1, 3).transpose(0, 2, 1)
-
     # shading attribute directions must follow the transform: vertex
     # normals (rows 9-17) and tangents (24-32) rotate with A (uniform
     # scale is normalized away in shading); uvs/material ids unchanged.
@@ -104,7 +89,7 @@ def refit_clusters(tree: ClusterTree, matrix: jnp.ndarray) -> ClusterTree:
          td[:, 18:24, :],                     # uvs
          rot(24), rot(27), rot(30),           # t0 t1 t2
          td[:, 33:36, :]], axis=1)            # material ids
-    td = jnp.concatenate([v0, e1, e2, attrs_mid, woop, cen_rows], axis=1)
+    td = jnp.concatenate([v0, e1, e2, attrs_mid], axis=1)
     if td.shape[1] < ROWS:
         td = jnp.concatenate(
             [td, jnp.zeros((c1p, ROWS - td.shape[1], K1), jnp.float32)],

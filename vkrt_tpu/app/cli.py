@@ -116,8 +116,13 @@ def main(argv=None) -> int:
         renderer = _Sharded()
     else:
         from vkrt_tpu.wavefront.engine import Renderer
+        # quantize on device (u8 fb + scalar ray count — the host link is
+        # slow) unless the caller needs the f32 image on the host
+        quantize = not args.check_finite and not (
+            args.output and args.output.endswith(".npy"))
         renderer = Renderer(args.scene, cfg, backend=args.backend,
-                            max_texture_dim=args.max_texture_dim)
+                            max_texture_dim=args.max_texture_dim,
+                            quantize=quantize)
 
     start_frame = 0
     if args.checkpoint and os.path.exists(args.checkpoint):
@@ -134,28 +139,71 @@ def main(argv=None) -> int:
 
     timer = FrameTimer()
     fb = None
+    # frames-in-flight: JAX async dispatch + FrameScheduler overlap host
+    # frame prep (camera path, checkpointing) and device execution of up
+    # to `inflight` frames — the reference's 3-swapchain-image pipelining
+    # (ref: src/Context.cpp:141-180). Raster/sharded paths stay serial.
+    pipeline = (args.frames > 1 and not args.raster
+                and hasattr(renderer, "render_async"))
+
+    def retire(idx, cam, out):
+        nonlocal fb
+        fb, rays_arr = out
+        rays = int(np.asarray(rays_arr).sum())
+        stats = timer.end(rays)
+        timer.begin()
+        if args.check_finite:
+            check_finite(fb, f"frame {idx}")
+        if args.checkpoint:
+            save_state(args.checkpoint, cfg, cam, idx + 1)
+        if args.metrics:
+            print(f"frame {idx}: {stats.frame_ms:.1f}ms "
+                  f"{stats.mrays_per_s:.2f} Mrays/s", file=sys.stderr)
+
     with profile(args.profile_dir):
-        for i in range(args.frames):
-            try:
-                cam = next(cams)
-            except StopIteration:
-                break
-            if i < start_frame:
-                continue  # fast-forward a resumed fly-through
+        if pipeline:
+            from vkrt_tpu.runtime import FrameScheduler
+            sched = FrameScheduler(inflight=3)
+            in_flight_cams = {}
             timer.begin()
-            if args.raster:
-                fb = renderer.render(cam)
-                rays = cfg.num_pixels * args.msaa
-            else:
-                fb, rays = renderer.render(cam)
-            stats = timer.end(rays)
-            if args.check_finite:
-                check_finite(fb, f"frame {i}")
-            if args.checkpoint:
-                save_state(args.checkpoint, cfg, cam, i + 1)
-            if args.metrics:
-                print(f"frame {i}: {stats.frame_ms:.1f}ms "
-                      f"{stats.mrays_per_s:.2f} Mrays/s", file=sys.stderr)
+            for i in range(args.frames):
+                try:
+                    cam = next(cams)
+                except StopIteration:
+                    break
+                if i < start_frame:
+                    continue  # fast-forward a resumed fly-through
+                in_flight_cams[i] = cam
+                retired = sched.submit(renderer.render_async, cam)
+                if retired is not None:
+                    idx, out = retired
+                    idx += start_frame
+                    retire(idx, in_flight_cams.pop(idx), out)
+            for idx, out in sched.drain():
+                idx += start_frame
+                retire(idx, in_flight_cams.pop(idx), out)
+        else:
+            for i in range(args.frames):
+                try:
+                    cam = next(cams)
+                except StopIteration:
+                    break
+                if i < start_frame:
+                    continue  # fast-forward a resumed fly-through
+                timer.begin()
+                if args.raster:
+                    fb = renderer.render(cam)
+                    rays = cfg.num_pixels * args.msaa
+                else:
+                    fb, rays = renderer.render(cam)
+                stats = timer.end(rays)
+                if args.check_finite:
+                    check_finite(fb, f"frame {i}")
+                if args.checkpoint:
+                    save_state(args.checkpoint, cfg, cam, i + 1)
+                if args.metrics:
+                    print(f"frame {i}: {stats.frame_ms:.1f}ms "
+                          f"{stats.mrays_per_s:.2f} Mrays/s", file=sys.stderr)
 
     if args.output and fb is not None:
         if args.output.endswith(".npy"):

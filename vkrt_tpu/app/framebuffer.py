@@ -12,8 +12,12 @@ import numpy as np
 
 
 def to_unorm8(img: np.ndarray) -> np.ndarray:
-    """f32[H,W,3] linear → u8[H,W,3], matching UNORM store+copy semantics."""
-    return (np.clip(np.asarray(img), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    """f32[H,W,3] linear → u8[H,W,3], matching UNORM store+copy semantics.
+    u8 input (already quantized on device) passes through unchanged."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img
+    return (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
 
 def write_png(path: str, img: np.ndarray) -> None:

@@ -70,13 +70,13 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                   # outputs (lane-major)
                   t_out, slot_out, u_out, v_out, attr_out, stats_out,
                   # scratch
-                  tris, sem, gated, tlb, started, nlist, counters, sc_mask,
-                  btmax, t_s, slot_s, u_s, v_s, attr_s, b_mat,
+                  tris, sem, gated, tlb, started, nlist,
+                  counters, sc_mask, btmax, t_s, slot_s, u_s, v_s, attr_s,
                   *, n_sc: int, occlusion: bool, with_attributes: bool,
-                  stats: bool, woop: bool = False):
+                  stats: bool):
     G = o_ref.shape[2]            # ray groups of 128 lanes
     R = G * LANES
-    NBUF = tris.shape[0]          # per-cluster DMA pipeline depth
+    NBUF = sem.shape[0]           # per-cluster DMA pipeline depth
 
     def to_sublanes(rows):        # [G,128] lane-major → [R,1] sublane-major
         # Mosaic rejects the direct (G,128)->(R,1) shape cast; per-group
@@ -91,16 +91,6 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     dx, dy, dz = col(d_ref, 0), col(d_ref, 1), col(d_ref, 2)
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     tmax = to_sublanes(tmax_ref[0])
-
-    if woop:
-        # Woop MXU intersection operands: B (per-cluster [8, 6*K1]) is
-        # zeroed once, nonzero row segments rewritten per cluster visit;
-        # the ray matrix X is rebuilt per cluster in the CLUSTER's local
-        # frame (origin minus cluster center) — the precision fix that
-        # makes the affine form viable for sliver triangles.
-        ones = jnp.ones((R, 1), jnp.float32)
-        zeros = jnp.zeros((R, 1), jnp.float32)
-        b_mat[:] = jnp.zeros_like(b_mat)
 
     t_s[:] = tmax
     slot_s[:] = jnp.full((R, 1), -1, jnp.int32)
@@ -153,71 +143,35 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         return lo, hi
 
     def tri_block(slot, base_slot):
-        """Intersect all R rays against the 128 tris of pipeline buffer
-        `slot` (one cluster, [ROWS, K1]); base_slot = global cluster id."""
-        chunk = tris[slot]                    # [ROWS, K1]
-        if woop:
-            # EXPERIMENTAL (off by default): Woop-transform intersection —
-            # Y = X @ B maps every ray into every triangle's unit frame in
-            # ONE MXU matmul + ~15 VPU ops (vs ~45 for Moller-Trumbore);
-            # measured +24-26%% kernel throughput. NOT default because the
-            # affine form cancels catastrophically for sliver triangles
-            # (W rows scale as 1/|n|^2): 21%% of Sponza rays picked a
-            # different triangle than MT. Needs a per-cluster local-frame
-            # formulation before it can ship.
-            # B columns: [o'x o'y o'z | d'x d'y d'z] x K1 lanes.
-            # (individual segment stores: Mosaic can't concat rows taken
-            # from different sublane offsets of the slab tile)
-            wrow = lambda k: chunk[36 + k:37 + k, :]
-            for k in range(3):
-                for j in range(3):
-                    seg = wrow(3 * j + k)
-                    b_mat[k:k + 1, j * K1:(j + 1) * K1] = seg
-                    b_mat[4 + k:5 + k, (3 + j) * K1:(4 + j) * K1] = seg
-            for j in range(3):
-                b_mat[3:4, j * K1:(j + 1) * K1] = -chunk[45 + j:46 + j, :]
+        """Möller–Trumbore: all R rays against the 128 tris of pipeline
+        buffer `slot` (one cluster); base_slot = global cluster id.
 
-            # cluster-local ray origins (rows 48-50 hold the center,
-            # replicated across lanes — any lane reduce recovers it)
-            ccx = jnp.max(chunk[48:49, :])
-            ccy = jnp.max(chunk[49:50, :])
-            ccz = jnp.max(chunk[50:51, :])
-            x_mat = jnp.concatenate(
-                [ox - ccx, oy - ccy, oz - ccz, ones, dx, dy, dz, zeros],
-                axis=1)
+        (A Woop-transform MXU intersector was built and measured in round
+        2 — Y = X @ B unit-triangle transform, one [R,8]x[8,768] matmul +
+        14 VPU ops — but the K=8 matmul only beats the VPU at the MXU's
+        native bf16 precision, which leaks 9%% of rays through seams;
+        f32-emulated passes cost more than Möller–Trumbore. Excised; see
+        ROADMAP.md for the full measurements.)"""
+        chunk = tris[slot]                            # [ROWS, K1]
+        v0x, v0y, v0z = chunk[0:1, :], chunk[1:2, :], chunk[2:3, :]
+        e1x, e1y, e1z = chunk[3:4, :], chunk[4:5, :], chunk[5:6, :]
+        e2x, e2y, e2z = chunk[6:7, :], chunk[7:8, :], chunk[8:9, :]
 
-            y = jax.lax.dot_general(x_mat, b_mat[:],
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            opx, opy, opz = y[:, 0:K1], y[:, K1:2 * K1], y[:, 2 * K1:3 * K1]
-            dpx, dpy, dpz = (y[:, 3 * K1:4 * K1], y[:, 4 * K1:5 * K1],
-                             y[:, 5 * K1:6 * K1])
-            plane_ok = jnp.abs(dpz) > 1e-20
-            tt = -opz / jnp.where(plane_ok, dpz, 1.0)
-            uu = opx + tt * dpx
-            vv = opy + tt * dpy
-            ok = (plane_ok & (uu >= 0) & (vv >= 0) & (uu + vv <= 1)
-                  & (tt > TMIN) & (tt < t_s[:]))
-        else:
-            v0x, v0y, v0z = chunk[0:1, :], chunk[1:2, :], chunk[2:3, :]
-            e1x, e1y, e1z = chunk[3:4, :], chunk[4:5, :], chunk[5:6, :]
-            e2x, e2y, e2z = chunk[6:7, :], chunk[7:8, :], chunk[8:9, :]
-
-            hx = dy * e2z - dz * e2y              # [R,K1]
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            inv_det = jnp.where(jnp.abs(det) > _DET_EPS,
-                                1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-            uu = (sx * hx + sy * hy + sz * hz) * inv_det
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            vv = (dx * qx + dy * qy + dz * qz) * inv_det
-            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = ((jnp.abs(det) > _DET_EPS) & (uu >= 0) & (vv >= 0)
-                  & (uu + vv <= 1) & (tt > TMIN) & (tt < t_s[:]))
+        hx = dy * e2z - dz * e2y              # [R,K1]
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
+        inv_det = jnp.where(jnp.abs(det) > _DET_EPS,
+                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        uu = (sx * hx + sy * hy + sz * hz) * inv_det
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        vv = (dx * qx + dy * qy + dz * qz) * inv_det
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = ((jnp.abs(det) > _DET_EPS) & (uu >= 0) & (vv >= 0)
+              & (uu + vv <= 1) & (tt > TMIN) & (tt < t_s[:]))
 
         if occlusion:
             # any-hit semantics: no lane select, no attrs — just mark
@@ -331,9 +285,11 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     if stats:
         counters[0] = count
 
-    def start_dma(i, slot):
-        return pltpu.make_async_copy(
-            tri_hbm.at[gated[i]], tris.at[slot], sem.at[slot])
+    def cluster_dmas(i, slot):
+        """The per-cluster copies (a list so further per-cluster streams
+        can join the same started/wait protocol)."""
+        return [pltpu.make_async_copy(
+            tri_hbm.at[gated[i]], tris.at[slot], sem.at[slot])]
 
     # NBUF-deep cluster pipeline. DMA start/wait pairing must be
     # deterministic (an unwaited started DMA wedges the core), but the
@@ -344,7 +300,8 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         @pl.when(j < count)
         def _(j=j):
             started[j] = 1
-            start_dma(j, j % NBUF).start()
+            for dma in cluster_dmas(j, j % NBUF):
+                dma.start()
 
     def cl_body(i, _):
         j = i + NBUF - 1
@@ -356,12 +313,14 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
 
             @pl.when(go)
             def _():
-                start_dma(j, jax.lax.rem(j, NBUF)).start()
+                for dma in cluster_dmas(j, jax.lax.rem(j, NBUF)):
+                    dma.start()
 
         @pl.when(started[i] == 1)
         def _():
             slot = jax.lax.rem(i, NBUF)
-            start_dma(i, slot).wait()
+            for dma in cluster_dmas(i, slot):
+                dma.wait()
 
             @pl.when(tlb[i] < btmax[0])       # sweep-time scalar prune
             def _():
@@ -388,11 +347,11 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
 
 @functools.partial(jax.jit, static_argnames=("block", "occlusion",
                                              "with_attributes", "interpret",
-                                             "stats", "woop"))
+                                             "stats"))
 def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                 block: int = 512, occlusion: bool = False,
                 with_attributes: bool = False, interpret: bool = False,
-                stats: bool = False, woop: bool = False):
+                stats: bool = False):
     """Trace rays against the cluster tree (lane-major I/O).
 
     origins/dirs: f32[3, Nb, 128]; tmax: f32[Nb, 128]. N = Nb*128 must be
@@ -439,8 +398,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     sc_order = sc_order.reshape(nblocks, 1, order_w)  # SMEM block-shape rule
 
     kernel = functools.partial(_trace_kernel, n_sc=n_sc, occlusion=occlusion,
-                               with_attributes=with_attributes, stats=stats,
-                               woop=woop)
+                               with_attributes=with_attributes, stats=stats)
     grid = (nblocks,)
     attr_rows = 36 if with_attributes else 1
     # Mosaic requires block last-two dims divisible by (8,128) or equal to
@@ -482,7 +440,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((NBUF, ROWS, K1), jnp.float32),    # cluster DMA pipeline
+            pltpu.VMEM((NBUF, ROWS, K1), jnp.float32),   # cluster DMA pipeline
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SMEM((maxc,), jnp.int32),              # gated cluster list
             pltpu.SMEM((maxc,), jnp.float32),            # conservative t bounds
@@ -496,7 +454,6 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
             pltpu.VMEM((block, 1), jnp.float32),          # u state
             pltpu.VMEM((block, 1), jnp.float32),          # v state
             pltpu.VMEM((block, attr_rows), jnp.float32),  # attr state
-            pltpu.VMEM((8, 6 * K1), jnp.float32),         # Woop B operand
         ],
         interpret=interpret,
     )(sc_order, tree.sc_boxes, tree.cl_boxes, o_k, d_k, tmax_k,

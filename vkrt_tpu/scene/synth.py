@@ -53,7 +53,12 @@ def _grid_patch(rng: np.random.Generator, n_verts: int, n_tris: int,
     freq = rng.integers(1, 4, size=2)
     face = float(rng.integers(0, 2))           # which face of the AABB
     s_amp = 0.06
-    base = face + (1.0 - 2.0 * face) * s_amp   # just inside the chosen face
+    # per-submesh inward offset: submeshes whose AABBs share a face must
+    # NOT produce coincident sheets (z-fighting makes winner selection —
+    # and therefore any golden comparison — ill-defined; real Sponza has
+    # no coincident walls)
+    inset = s_amp + float(rng.uniform(0.0, 0.08))
+    base = face + (1.0 - 2.0 * face) * inset   # just inside the chosen face
     ss = base + s_amp * (np.sin(2 * np.pi * freq[0] * uu + phase[0])
                          * np.cos(2 * np.pi * freq[1] * vv + phase[1])).astype(np.float32)
 

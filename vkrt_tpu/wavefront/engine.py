@@ -154,6 +154,21 @@ def render_frame(backend, tex: TextureArrays, proj_inverse, view_inverse,
     return fb, ray_count
 
 
+def render_frame_u8(backend, tex: TextureArrays, proj_inverse, view_inverse,
+                    lights, cfg: C.RenderConfig, interpret: bool = False):
+    """render_frame + ON-DEVICE UNORM8 quantization and ray-count sum.
+
+    The production frame op: the host fetch shrinks from a 25MB f32
+    image + a 2MB counter grid to 6MB u8 + one scalar — the axon tunnel
+    moves ~25MB/s, so at 1080p this is ~1.1 s/frame of transfer
+    (measured round 2). Quantization matches the reference's UNORM
+    storage→swapchain copy (ref: src/Raytracer.cpp:159-193)."""
+    fb, ray_count = render_frame(backend, tex, proj_inverse, view_inverse,
+                                 lights, cfg, interpret=interpret)
+    fb8 = jnp.clip(fb * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    return fb8, jnp.sum(ray_count)
+
+
 def camera_ray_blocks(proj_inverse, view_inverse, cfg: C.RenderConfig):
     """Camera rays padded to tile multiples, lane-major coherent blocks."""
     wp, hp = _pad_dims(cfg.width, cfg.height)
@@ -309,15 +324,18 @@ class Renderer:
 
     def __init__(self, model_path: str, cfg: C.RenderConfig,
                  backend: str = "dense", max_texture_dim: int = 0,
-                 interpret: bool = False, rebuild: str = "refit"):
+                 interpret: bool = False, rebuild: str = "refit",
+                 quantize: bool = False):
         self.cfg = cfg
         self.interpret = interpret
         self.rebuild = rebuild      # "refit" (fast) | "full" (device re-sort)
+        self.quantize = quantize    # u8 fb + scalar rays on device (prod path)
         self.flat, self.tex, self.backend = cached_backend(
             model_path, max_texture_dim, backend)
         self.lights = jnp.asarray(C.LIGHT_POSITIONS)
         self._frame = jax.jit(functools.partial(
-            render_frame, cfg=cfg, interpret=interpret))
+            render_frame_u8 if quantize else render_frame,
+            cfg=cfg, interpret=interpret))
         if rebuild == "full":
             idx = np.asarray(self.flat.indices, dtype=np.int64)
             p = self.flat.positions
@@ -333,9 +351,15 @@ class Renderer:
                 [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
                  for z in (lo[2], hi[2])], np.float32)
 
-    def render(self, camera, transform=None):
-        """Render a frame. `transform` (4x4, TLAS-instance analogue) —
-        or cfg.rebuild_per_frame — triggers the per-frame accel update
+    def render_async(self, camera, transform=None):
+        """Enqueue a frame; returns DEVICE arrays (fb, ray_count) without
+        forcing completion — JAX async dispatch makes this the
+        frames-in-flight submit (pair with runtime.FrameScheduler; the
+        reference overlaps CPU record with GPU execute the same way via
+        3 swapchain images + fences, ref: src/Context.cpp:141-180).
+
+        `transform` (4x4, TLAS-instance analogue) — or
+        cfg.rebuild_per_frame — triggers the per-frame accel update
         (BASELINE config 5; ref driver rebuild at src/Raytracer.cpp:
         1146-1280): dense AABB refit by default, or a full on-device
         Morton re-sort with rebuild="full"."""
@@ -344,14 +368,19 @@ class Renderer:
                 isinstance(backend, DenseBackend):
             m = jnp.eye(4) if transform is None else jnp.asarray(transform, jnp.float32)
             if self.rebuild == "full":
-                backend = DenseBackend(tree=self._full_rebuild(m))
+                backend = backend._replace(tree=self._full_rebuild(m))
             else:
                 from vkrt_tpu.accel.refit import refit_clusters
-                backend = DenseBackend(tree=refit_clusters(backend.tree, m))
-        fb, rays = self._frame(backend, self.tex,
-                               jnp.asarray(camera.proj_inverse),
-                               jnp.asarray(camera.view_inverse),
-                               self.lights)
+                backend = backend._replace(
+                    tree=refit_clusters(backend.tree, m))
+        return self._frame(backend, self.tex,
+                           jnp.asarray(camera.proj_inverse),
+                           jnp.asarray(camera.view_inverse),
+                           self.lights)
+
+    def render(self, camera, transform=None):
+        """Synchronous render: enqueue + materialize on host."""
+        fb, rays = self.render_async(camera, transform)
         return np.asarray(fb), int(np.asarray(rays).sum())
 
     def _full_rebuild(self, m):
