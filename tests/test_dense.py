@@ -136,3 +136,27 @@ def test_dense_scales_past_64_superclusters():
     both = hit & (btri >= 0)
     np.testing.assert_allclose(np.asarray(t)[both], bt[both], rtol=1e-4,
                                atol=1e-5)
+
+
+def test_dense_block512_subgroups_match_brute(scene):
+    """block=512 exercises 4-subgroup gating (per-128-ray masks + btmax);
+    results must match the single-subgroup/block=128 contract."""
+    v0, e1, e2, tree = scene
+    o, d = make_rays(n_rays=512, seed=51)
+    tmax = np.full(o.shape[0], 1e3, np.float32)
+    t, slot, u, v = trace_dense(tree, jnp.asarray(o), jnp.asarray(d),
+                                jnp.asarray(tmax), block=512, interpret=True)
+    bt, btri, bu, bv = brute_closest(o, d, 0.001, 1e3, v0, e1, e2)
+    tri = np.where(np.asarray(slot) >= 0,
+                   np.asarray(tree.leaf_tri)[np.maximum(np.asarray(slot), 0)], -1)
+    hit = tri >= 0
+    np.testing.assert_array_equal(hit, btri >= 0)
+    both = hit & (btri >= 0)
+    np.testing.assert_allclose(np.asarray(t)[both], bt[both], rtol=1e-4,
+                               atol=1e-5)
+    # occlusion flavor too
+    _, oslot, _, _ = trace_dense(tree, jnp.asarray(o), jnp.asarray(d),
+                                 jnp.asarray(tmax * 0.02), block=512,
+                                 occlusion=True, interpret=True)
+    bocc = brute_occluded(o, d, 0.001, tmax * 0.02, v0, e1, e2)
+    np.testing.assert_array_equal(np.asarray(oslot) >= 0, bocc)

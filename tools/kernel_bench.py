@@ -127,6 +127,36 @@ def main():
                 "mrays_attrs": round(n / da / 1e6, 2),
                 "swept_per_block": round(float(st[:, 1].mean()), 1)}))
 
+    if "phases" in steps:
+        # differential frame timing at 1080p: full vs feature-ablated
+        # configs isolate where the e2e milliseconds go
+        import dataclasses
+
+        from vkrt_tpu.wavefront.engine import Renderer
+        base = C.config4_flythrough()
+        cam = Camera(base.width, base.height)
+        cam.set_position(C.CAMERA_START_POSITION)
+        cam.set_rotation(C.CAMERA_START_ROTATION)
+        variants = {
+            "full": base,
+            "no_shadows": dataclasses.replace(base, enable_shadows=False),
+            "depth1": dataclasses.replace(base, max_depth=1),
+            "flat_albedo": dataclasses.replace(base, flat_albedo=True,
+                                               max_depth=1,
+                                               enable_shadows=False,
+                                               enable_reflections=False),
+        }
+        for name, cfg in variants.items():
+            rnd = Renderer(SCENE, cfg, backend="dense", max_texture_dim=64,
+                           quantize=True)
+            rnd.render(cam)     # compile
+            t0 = time.perf_counter()
+            for _ in range(3):
+                _, rays = rnd.render(cam)
+            ms = (time.perf_counter() - t0) / 3 * 1000
+            print(json.dumps({"step": f"phase:{name}",
+                              "frame_ms": round(ms, 1), "rays": int(rays)}))
+
     if "big" in steps:
         from vkrt_tpu.accel.clusters import build_clusters
         rng = np.random.default_rng(7)

@@ -16,12 +16,14 @@ So rays never chase pointers. Instead, a grid of coherent ray blocks
            (any scene size), walked in per-block front-to-back order
            (precomputed in the XLA prologue).
   phase 2  per gated supercluster, its 64 VMEM-resident cluster AABBs are
-           dense-tested once; gated CLUSTER ids + a conservative scalar
-           t lower bound (block-origin-AABB→cluster-box distance) land in
-           an SMEM work list. (Round 1 instead DMA'd the full 1.7MB
-           supercluster slab per visit — HBM-bound at ~11 Mrays/s.)
-  phase 3  the work list is streamed with an NBUF-deep per-cluster DMA
-           pipeline (26KB each); a scalar prune against the block's
+           dense-tested once; gated CLUSTER ids + a conservative t lower
+           bound (min slab-entry t over hitting rays) land in an SMEM
+           work list, then the list is insertion-sorted by that bound so
+           the walk is strictly nearest-first. (Round 1 instead DMA'd the
+           full 1.7MB supercluster slab per visit — HBM-bound at ~11
+           Mrays/s.)
+  phase 3  the sorted list is streamed with an NBUF-deep per-cluster DMA
+           pipeline (20KB each); a scalar prune against the block's
            shrinking max-t (btmax) skips both the DMA and the sweep of
            clusters no live ray can reach. Each surviving cluster:
            Möller–Trumbore of all R rays against its 128 triangles
@@ -104,16 +106,11 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         counters[0] = 0
         counters[1] = 0
 
-    # Block origin AABB (scalars): with the engine's tmax=0 ray parking,
-    # distance from this box to a cluster box is a CONSERVATIVE lower bound
-    # on any live ray's hit t — the scalar prune used at DMA-issue and
-    # sweep time against the block's shrinking max-t (btmax).
-    oxmin, oxmax = jnp.min(ox), jnp.max(ox)
-    oymin, oymax = jnp.min(oy), jnp.max(oy)
-    ozmin, ozmax = jnp.min(oz), jnp.max(oz)
-
-    def slab_any(bmin_x, bmin_y, bmin_z, bmax_x, bmax_y, bmax_z):
-        """Dense slab test rays x boxes ([R,1] vs [1,L]) → any-hit per box [1,L].
+    def slab_entry(bmin_x, bmin_y, bmin_z, bmax_x, bmax_y, bmax_z):
+        """Dense slab test rays x boxes ([R,1] vs [1,L]).
+        Returns (any-hit per box [1,L], conservative box-entry t [1,L] =
+        min over hitting rays of their slab tn — the tight, DIRECTIONAL
+        lower bound on any hit t inside the box).
 
         The `t_s > TMIN` clause removes parked rays (engine passes tmax=0
         for inactive lanes) and occlusion-blocked rays (t_s pinned to TMIN)
@@ -130,7 +127,8 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
         hit = (tn <= tf) & (tf >= TMIN) & (tn <= t_s[:]) & (t_s[:] > TMIN)
-        return jnp.any(hit, axis=0, keepdims=True)
+        entry = jnp.min(jnp.where(hit, tn, _INF), axis=0, keepdims=True)
+        return jnp.any(hit, axis=0, keepdims=True), entry
 
     def hit_bitmask(hits):
         """Pack an any-hit row [1,L] (L<=128) into two scalar i32 bitmasks,
@@ -161,20 +159,24 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         hy = dz * e2x - dx * e2z
         hz = dx * e2y - dy * e2x
         det = e1x * hx + e1y * hy + e1z * hz
-        inv_det = jnp.where(jnp.abs(det) > _DET_EPS,
-                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
         sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-        uu = (sx * hx + sy * hy + sz * hz) * inv_det
+        up = sx * hx + sy * hy + sz * hz
         qx = sy * e1z - sz * e1y
         qy = sz * e1x - sx * e1z
         qz = sx * e1y - sy * e1x
-        vv = (dx * qx + dy * qy + dz * qz) * inv_det
-        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        ok = ((jnp.abs(det) > _DET_EPS) & (uu >= 0) & (vv >= 0)
-              & (uu + vv <= 1) & (tt > TMIN) & (tt < t_s[:]))
+        vp = dx * qx + dy * qy + dz * qz
+        tp = e2x * qx + e2y * qy + e2z * qz
+        adet = jnp.abs(det)
 
         if occlusion:
-            # any-hit semantics: no lane select, no attrs — just mark
+            # any-hit semantics, DIVISION-FREE: compare the pre-division
+            # barycentrics/t against sign-corrected det — occlusion never
+            # needs the actual u,v,t values
+            sgn = jnp.where(det < 0, -1.0, 1.0)
+            su, sv, st = up * sgn, vp * sgn, tp * sgn
+            ok = ((adet > _DET_EPS) & (su >= 0) & (sv >= 0)
+                  & (su + sv <= adet) & (st > TMIN * adet)
+                  & (st < t_s[:] * adet))
             anyhit = jnp.any(ok, axis=1, keepdims=True)   # [R,1]
             @pl.when(jnp.any(anyhit))
             def _():
@@ -182,6 +184,14 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                 t_s[:] = jnp.where(anyhit, TMIN, t_s[:])  # culls later gates
                 btmax[0] = jnp.max(t_s[:])
             return
+
+        inv_det = jnp.where(adet > _DET_EPS,
+                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+        uu = up * inv_det
+        vv = vp * inv_det
+        tt = tp * inv_det
+        ok = ((adet > _DET_EPS) & (uu >= 0) & (vv >= 0)
+              & (uu + vv <= 1) & (tt > TMIN) & (tt < t_s[:]))
 
         tm = jnp.min(jnp.where(ok, tt, _INF), axis=1, keepdims=True)  # [R,1]
         better = tm < t_s[:]
@@ -215,8 +225,8 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     # the driver-BVH generality analogue of ref Raytracer.cpp:1027-1157).
     # This is the coarse (t-unaware) cull; the per-supercluster recheck
     # below implements early termination as t_s shrinks.
-    sc_hits = slab_any(sc_ref[0:1, :], sc_ref[1:2, :], sc_ref[2:3, :],
-                       sc_ref[3:4, :], sc_ref[4:5, :], sc_ref[5:6, :])
+    sc_hits, _ = slab_entry(sc_ref[0:1, :], sc_ref[1:2, :], sc_ref[2:3, :],
+                            sc_ref[3:4, :], sc_ref[4:5, :], sc_ref[5:6, :])
     sc_lane = jax.lax.broadcasted_iota(jnp.int32, sc_hits.shape, 1)
     sc_w = jnp.left_shift(jnp.int32(1), sc_lane & 31)
     n_words = sc_mask.shape[0]
@@ -252,25 +262,20 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         @pl.when((s >= 0) & test_sc(s))
         def _():
             cb = cl_ref[s]                    # [8, K2]
-            cl_any = slab_any(cb[0:1, :], cb[1:2, :], cb[2:3, :],
-                              cb[3:4, :], cb[4:5, :], cb[5:6, :])
-            # conservative per-cluster t lower bound: distance between the
-            # block origin AABB and the cluster box (all rays are unit-dir)
-            gx = jnp.maximum(jnp.maximum(cb[0:1, :] - oxmax,
-                                         oxmin - cb[3:4, :]), 0.0)
-            gy = jnp.maximum(jnp.maximum(cb[1:2, :] - oymax,
-                                         oymin - cb[4:5, :]), 0.0)
-            gz = jnp.maximum(jnp.maximum(cb[2:3, :] - ozmax,
-                                         ozmin - cb[5:6, :]), 0.0)
-            dist = jnp.sqrt(gx * gx + gy * gy + gz * gz)   # [1,K2]
-            cl_lo, cl_hi = hit_bitmask(cl_any & (dist < btmax[0]))
+            cl_any, entry = slab_entry(cb[0:1, :], cb[1:2, :], cb[2:3, :],
+                                       cb[3:4, :], cb[4:5, :], cb[5:6, :])
+            # entry = per-cluster conservative t lower bound (min slab tn
+            # over hitting rays); 0.9999 guards f32 rounding of tn so the
+            # prune can never discard a boundary hit
+            cl_lo, cl_hi = hit_bitmask(cl_any & (entry < btmax[0]))
 
             def word_emit(word_base, mask0):
                 def body(m):
                     c = ctz32(m & (-m)) + word_base
                     cnt = nlist[0]
                     gated[cnt] = s * K2 + c
-                    tlb[cnt] = jnp.sum(jnp.where(cl_lane == c, dist, 0.0))
+                    tlb[cnt] = 0.9999 * jnp.sum(
+                        jnp.where(cl_lane == c, entry, 0.0))
                     nlist[0] = cnt + 1
                     return m & (m - 1)
 
@@ -284,6 +289,30 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     count = nlist[0]
     if stats:
         counters[0] = count
+
+    # Insertion-sort the work list by conservative t lower bound (scalar,
+    # SMEM): visiting strictly nearest-first shrinks btmax as early as
+    # possible, so far clusters get pruned before their DMA is even
+    # issued. n is ~25-40 per block — O(n^2) scalar work is ~2us against
+    # the multi-sweep savings.
+    def ins_body(i, _):
+        key_t = tlb[i]
+        key_g = gated[i]
+
+        def shift_cond(j):
+            return jnp.logical_and(j > 0, tlb[j - 1] > key_t)
+
+        def shift_body(j):
+            tlb[j] = tlb[j - 1]
+            gated[j] = gated[j - 1]
+            return j - 1
+
+        j = jax.lax.while_loop(shift_cond, shift_body, i)
+        tlb[j] = key_t
+        gated[j] = key_g
+        return 0
+
+    jax.lax.fori_loop(1, count, ins_body, 0)
 
     def cluster_dmas(i, slot):
         """The per-cluster copies (a list so further per-cluster streams

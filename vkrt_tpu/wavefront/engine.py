@@ -71,18 +71,23 @@ def generate_rays(proj_inverse, view_inverse, width: int, height: int,
 
 
 def tile(img, ty: int = TILE_Y, tx: int = TILE_X):
-    """[H,W] scalar grid → [Nb,128] lane-major, tile-major ray order."""
+    """[H,W] scalar grid → [Nb,128] lane-major, tile-major ray order.
+
+    Each 128-lane GROUP is a compact 8x16 pixel subtile (2x2 of them per
+    16x32 tile = one 512-ray trace block): the dense kernel gates and
+    sweeps per group, so groups must be spatially tight, not thin
+    4-row strips."""
     h, w = img.shape
-    flat = (img.reshape(h // ty, ty, w // tx, tx)
-            .transpose(0, 2, 1, 3).reshape(-1))
+    x = img.reshape(h // ty, 2, ty // 2, w // tx, 2, tx // 2)
+    flat = x.transpose(0, 3, 1, 4, 2, 5).reshape(-1)
     return flat.reshape(-1, L.LANES)
 
 
 def untile(lanes, height: int, width: int, ty: int = TILE_Y, tx: int = TILE_X):
-    """[Nb,128] → [H,W]."""
+    """[Nb,128] → [H,W] (inverse of tile)."""
     flat = lanes.reshape(-1)
-    return (flat.reshape(height // ty, width // tx, ty, tx)
-            .transpose(0, 2, 1, 3).reshape(height, width))
+    x = flat.reshape(height // ty, width // tx, 2, 2, ty // 2, tx // 2)
+    return x.transpose(0, 2, 4, 1, 3, 5).reshape(height, width)
 
 
 def _pad_dims(width, height):
