@@ -127,6 +127,31 @@ def main():
                 "mrays_attrs": round(n / da / 1e6, 2),
                 "swept_per_block": round(float(st[:, 1].mean()), 1)}))
 
+    if "sample" in steps:
+        # texture-sampling cost at frame scale (3 maps x 2.07M rays)
+        from vkrt_tpu.shade.sampling import sample_bilinear
+        _, tex2, _ = load_scene_assets(SCENE, 512)
+        nb = 2073600 // 128
+        rng = np.random.default_rng(3)
+        ids = jnp.asarray(rng.integers(0, 60, (nb, 128)), jnp.int32)
+        uv = jnp.asarray(rng.uniform(0, 4, (2, nb, 128)), jnp.float32)
+
+        @jax.jit
+        def three_maps(ids, uv):
+            a = sample_bilinear(tex2.texels_quad, tex2.level_offset,
+                                tex2.level_width, tex2.level_height, ids, uv)
+            b = sample_bilinear(tex2.texels_quad, tex2.level_offset,
+                                tex2.level_width, tex2.level_height, ids,
+                                uv * 0.5)
+            c = sample_bilinear(tex2.texels_quad, tex2.level_offset,
+                                tex2.level_width, tex2.level_height, ids,
+                                uv * 0.25)
+            return a + b + c
+
+        dt = bench(lambda: (three_maps(ids, uv),))
+        print(json.dumps({"step": "sample3maps_2M",
+                          "ms": round(dt * 1e3, 1)}))
+
     if "phases" in steps:
         # differential frame timing at 1080p: full vs feature-ablated
         # configs isolate where the e2e milliseconds go

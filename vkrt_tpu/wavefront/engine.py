@@ -250,11 +250,18 @@ def wavefront_rounds(backend, tex: TextureArrays, origins, dirs, lights,
             # miss) park with tmax=0. Ref contract: shader.rchit:119-152.
             casts = [hit & (nd > 0) for nd in ndotls]
             with jax.named_scope(f"trace_shadow_d{_depth}"):
-                so = jnp.concatenate([pos] * nl, axis=1)      # [3,L*Nb,128]
-                sd = jnp.concatenate([g[0] for g in geo], axis=1)
+                # shadow rays are traced FROM THE LIGHT toward the surface
+                # (same segment, same occlusion answer, epsilon mirrored
+                # to the surface end): every ray in a block then shares
+                # one origin point, so the kernel's origin-box entry
+                # bounds are exact and a subtile's rays form a tight cone
+                so = jnp.concatenate(
+                    [jnp.broadcast_to(lights[li][:, None, None], pos.shape)
+                     for li in range(nl)], axis=1)             # [3,L*Nb,128]
+                sd = jnp.concatenate([-g[0] for g in geo], axis=1)
                 st = jnp.concatenate(                          # [L*Nb,128]
-                    [jnp.where(c, g[1], 0.0) for c, g in zip(casts, geo)],
-                    axis=0)
+                    [jnp.where(c, g[1] - C.RAY_TMIN, 0.0)
+                     for c, g in zip(casts, geo)], axis=0)
                 occ_all = backend.occluded(so, sd, st, interpret=interpret)
             occs = jnp.split(occ_all, nl, axis=0)
             for c in casts:
