@@ -101,8 +101,8 @@ def test_dense_attributes_interpolate(scene):
 def test_cluster_tree_shapes(scene):
     _, _, _, tree = scene
     from vkrt_tpu.accel.clusters import ROWS as _ROWS
-    assert tree.tri_data.shape[1] == _ROWS
-    assert tree.tri_data.shape[2] == K1
+    assert tree.tri_data.shape[1] == K1
+    assert tree.tri_data.shape[2] == _ROWS
     assert tree.cl_boxes.shape[2] == K2
     # padding slots map to -1
     n_real = 900

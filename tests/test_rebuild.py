@@ -38,12 +38,12 @@ def test_refit_rotates_normals(rng):
 
     td0 = np.asarray(tree.tri_data)
     td1 = np.asarray(moved.tri_data)
-    # normal rows 9-11 rotate by A; uv rows 18-19 and mat rows 33-35 unchanged
+    # normal cols 9-11 rotate by A; uv cols 18-19 and mat cols 33-35 unchanged
     a = m[:3, :3]
-    want = np.einsum("ij,cjk->cik", a, td0[:, 9:12, :])
-    np.testing.assert_allclose(td1[:, 9:12, :], want, atol=1e-5)
-    np.testing.assert_allclose(td1[:, 18:20, :], td0[:, 18:20, :])
-    np.testing.assert_allclose(td1[:, 33:36, :], td0[:, 33:36, :])
+    want = np.einsum("ij,ckj->cki", a, td0[:, :, 9:12])
+    np.testing.assert_allclose(td1[:, :, 9:12], want, atol=1e-5)
+    np.testing.assert_allclose(td1[:, :, 18:20], td0[:, :, 18:20])
+    np.testing.assert_allclose(td1[:, :, 33:36], td0[:, :, 33:36])
 
 
 def test_full_rebuild_matches_refit_frame(sponza_model):

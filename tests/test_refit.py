@@ -21,9 +21,9 @@ def test_identity_refit_is_noop(rng):
     tree2 = refit_clusters(tree, jnp.eye(4))
     np.testing.assert_allclose(np.asarray(tree2.sc_boxes),
                                np.asarray(tree.sc_boxes), atol=1e-5)
-    # geometry + attribute rows are exact under identity
-    np.testing.assert_allclose(np.asarray(tree2.tri_data)[:, :36],
-                               np.asarray(tree.tri_data)[:, :36], atol=1e-5)
+    # geometry + attribute columns are exact under identity
+    np.testing.assert_allclose(np.asarray(tree2.tri_data)[:, :, :36],
+                               np.asarray(tree.tri_data)[:, :, :36], atol=1e-5)
 
 
 def test_translated_refit_traces_correctly(rng):

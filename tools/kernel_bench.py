@@ -182,6 +182,32 @@ def main():
             print(json.dumps({"step": f"phase:{name}",
                               "frame_ms": round(ms, 1), "rays": int(rays)}))
 
+    if "order" in steps:
+        # morton vs SAH-split cluster ordering, same kernel
+        from vkrt_tpu.accel.clusters import build_clusters, scene_attrs
+        idx = np.asarray(flat.indices, np.int64)
+        v0 = jnp.asarray(flat.positions[idx[:, 0]])
+        e1 = jnp.asarray(flat.positions[idx[:, 1]]) - v0
+        e2 = jnp.asarray(flat.positions[idx[:, 2]]) - v0
+        for method in ("morton", "split"):
+            tr = build_clusters(v0, e1, e2, attrs=scene_attrs(flat),
+                                with_attributes=True, device=False,
+                                method=method)
+            dt = bench(lambda t=tr: trace_dense(t, oj, dj, tmax))
+            da = bench(lambda t=tr: trace_dense(t, oj, dj, tmax,
+                                                with_attributes=True))
+            do = bench(lambda t=tr: trace_dense(t, oj, dj, tmax,
+                                                occlusion=True))
+            out = trace_dense(tr, oj, dj, tmax, stats=True)
+            st = np.asarray(out[-1])
+            print(json.dumps({
+                "step": f"order:{method}",
+                "mrays": round(n / dt / 1e6, 2),
+                "mrays_attrs": round(n / da / 1e6, 2),
+                "mrays_occl": round(n / do / 1e6, 2),
+                "gated_per_block": round(float(st[:, 0].mean()), 1),
+                "swept_per_block": round(float(st[:, 1].mean()), 1)}))
+
     if "big" in steps:
         from vkrt_tpu.accel.clusters import build_clusters
         rng = np.random.default_rng(7)

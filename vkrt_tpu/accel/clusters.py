@@ -19,14 +19,16 @@ This plays the role of the reference's driver-built BLAS
 frame (argsort + reshaped min/max only), which the driver build was not;
 the stress config (BASELINE config 5) relies on this.
 
-Build is fully jittable. Geometry rows in `tri_data` (f32[C1, ROWS, 128]):
+Build is fully jittable. Geometry columns in `tri_data` (f32[C1, 128, ROWS]
+— triangles on sublanes, attributes on lanes; the trace kernel sweeps
+[K1, R] with rays on lanes):
   0-2  v0.xyz        3-5  e1.xyz        6-8  e2.xyz
   9-11  n0.xyz      12-14 n1.xyz       15-17 n2.xyz      (vertex normals)
  18-19  uv0         20-21 uv1          22-23 uv2
  24-26  t0.xyz      27-29 t1.xyz       30-32 t2.xyz      (vertex tangents)
  33     base-color image id            34 metallic-roughness image id
- 35     normal image id                36-39 pad (sublane alignment)
-Attribute rows let the trace kernel select shading inputs with one MXU
+ 35     normal image id                36-39 pad (lane alignment)
+Attribute columns let the trace kernel select shading inputs with one MXU
 matmul instead of post-trace gathers (gathers are the enemy, above).
 """
 
@@ -42,7 +44,9 @@ from vkrt_tpu.accel.lbvh import morton30
 
 K1 = 128   # triangles per cluster (== VPU lane width)
 K2 = 64    # clusters per supercluster
-ROWS = 40  # rows: 36 attr + 4 pad (sublane alignment)
+ROWS = 128  # attribute columns: 36 attr + pad to the HBM lane tile (DMA
+            # slices must be 128-aligned on the lane dim; XLA pads the
+            # buffer to 128 lanes regardless, so this costs no extra HBM)
 
 _INF = 3.0e38
 
@@ -50,7 +54,7 @@ _INF = 3.0e38
 class ClusterTree(NamedTuple):
     sc_boxes: jax.Array   # f32[8, C2p]   rows 0-2 min.xyz, 3-5 max.xyz (lane-major)
     cl_boxes: jax.Array   # f32[C2, 8, K2] per-supercluster cluster AABBs
-    tri_data: jax.Array   # f32[C1p, ROWS, K1] packed geometry+attribute slabs
+    tri_data: jax.Array   # f32[C1p, K1, ROWS] packed geometry+attribute slabs
     leaf_tri: jax.Array   # i32[Tp] slot → original triangle id (-1 = padding)
 
     @property
@@ -87,16 +91,20 @@ def _argsort(codes):
 
 
 def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
-                   device: bool = True, aabb=None) -> ClusterTree:
+                   device: bool = True, aabb=None,
+                   method: str = "split") -> ClusterTree:
     """Build the cluster tree. `attrs` (optional dict of per-triangle arrays:
     n0..n2 [T,3], uv0..uv2 [T,2], t0..t2 [T,3], mat [T,3]) fills the
     attribute rows when with_attributes=True.
 
     device=True keeps sorting on device (the per-frame rebuild path,
-    BASELINE config 5). device=False argsorts on the host (zero compile
-    cost at startup). `aabb=(lo, hi)` bounds the Morton quantization range;
-    if omitted it is computed on the host (conservative bounds are fine —
-    rebuilds under a transform should pass the transformed cached AABB).
+    BASELINE config 5) and always uses the Morton order. device=False
+    builds on the host (zero compile cost at startup) with `method`:
+    "split" (default — SAH-lite aligned median split, tighter cluster
+    AABBs) or "morton" (same order as the device path). `aabb=(lo, hi)`
+    bounds the Morton quantization range; if omitted it is computed on
+    the host (conservative bounds are fine — rebuilds under a transform
+    should pass the transformed cached AABB).
     """
     import numpy as np
     if aabb is None:
@@ -107,11 +115,14 @@ def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
         hi = jnp.asarray(aabb[1], jnp.float32)
         order = _argsort(_morton_keys(v0, e1, e2, lo, hi))
         return _assemble(v0, e1, e2, order, attrs, with_attributes)
-    # host path: zero compile cost — numpy morton/sort/assembly, one
+    # host path: zero compile cost — numpy order/assembly, one
     # device_put of the finished tree
-    codes = _morton_host(np.asarray(v0), np.asarray(e1), np.asarray(e2),
-                         np.asarray(aabb[0]), np.asarray(aabb[1]))
-    order = np.argsort(codes, kind="stable").astype(np.int32)
+    if method == "split":
+        order = split_permutation(v0, e1, e2)
+    else:
+        codes = _morton_host(np.asarray(v0), np.asarray(e1), np.asarray(e2),
+                             np.asarray(aabb[0]), np.asarray(aabb[1]))
+        order = np.argsort(codes, kind="stable").astype(np.int32)
     return _assemble_host(np.asarray(v0), np.asarray(e1), np.asarray(e2),
                           order, attrs, with_attributes)
 
@@ -158,33 +169,95 @@ def _assemble(v0, e1, e2, order, attrs=None, with_attributes: bool = False) -> C
     cl_boxes = cl_boxes.at[:, 3:6, :].set(
         cl_max.reshape(C2, K2, 3).transpose(0, 2, 1))
 
-    def lanes(x):   # [Tp, k] → [C1, k, K1]
-        return x.reshape(C1, K1, -1).transpose(0, 2, 1)
+    def cols(x):   # [Tp, k] → [C1, K1, k] (tris on sublanes, attrs on lanes)
+        return x.reshape(C1, K1, -1)
 
-    rows = [lanes(sv0), lanes(se1), lanes(se2)]        # rows 0-8
+    rows = [cols(sv0), cols(se1), cols(se2)]           # cols 0-8
     if with_attributes:
         a = attrs
-        rows += [lanes(_pad_rows(a["n0"][order], Tp)),
-                 lanes(_pad_rows(a["n1"][order], Tp)),
-                 lanes(_pad_rows(a["n2"][order], Tp)),
-                 lanes(_pad_rows(a["uv0"][order], Tp)),
-                 lanes(_pad_rows(a["uv1"][order], Tp)),
-                 lanes(_pad_rows(a["uv2"][order], Tp)),
-                 lanes(_pad_rows(a["t0"][order], Tp)),
-                 lanes(_pad_rows(a["t1"][order], Tp)),
-                 lanes(_pad_rows(a["t2"][order], Tp)),
-                 lanes(_pad_rows(a["mat"][order].astype(jnp.float32), Tp))]
+        rows += [cols(_pad_rows(a["n0"][order], Tp)),
+                 cols(_pad_rows(a["n1"][order], Tp)),
+                 cols(_pad_rows(a["n2"][order], Tp)),
+                 cols(_pad_rows(a["uv0"][order], Tp)),
+                 cols(_pad_rows(a["uv1"][order], Tp)),
+                 cols(_pad_rows(a["uv2"][order], Tp)),
+                 cols(_pad_rows(a["t0"][order], Tp)),
+                 cols(_pad_rows(a["t1"][order], Tp)),
+                 cols(_pad_rows(a["t2"][order], Tp)),
+                 cols(_pad_rows(a["mat"][order].astype(jnp.float32), Tp))]
     else:
-        rows += [jnp.zeros((C1, 27, K1), jnp.float32)]
-    tri_data = jnp.concatenate(rows, axis=1)           # [C1, used, K1]
-    if tri_data.shape[1] < ROWS:
+        rows += [jnp.zeros((C1, K1, 27), jnp.float32)]
+    tri_data = jnp.concatenate(rows, axis=2)           # [C1, K1, used]
+    if tri_data.shape[2] < ROWS:
         tri_data = jnp.concatenate(
-            [tri_data, jnp.zeros((C1, ROWS - tri_data.shape[1], K1),
-                                 jnp.float32)], axis=1)
+            [tri_data, jnp.zeros((C1, K1, ROWS - tri_data.shape[2]),
+                                 jnp.float32)], axis=2)
     tri_data = _pad_rows(tri_data, C1p)
 
     return ClusterTree(sc_boxes=sc_boxes, cl_boxes=cl_boxes,
                        tri_data=tri_data, leaf_tri=leaf_tri)
+
+
+def split_permutation(v0, e1, e2, k1: int = K1, k2: int = K2,
+                      sah: bool = True):
+    """Top-down aligned median-split triangle ordering (host, numpy).
+
+    Returns a permutation whose consecutive K1-runs are the clusters:
+    the recursion splits node triangle ranges at multiples of K1 (and of
+    K1*K2 while nodes are still larger, so superclusters are subtrees
+    too), partitioning by centroid along the axis that minimizes the
+    children's surface-area x count sum (sah=True; sah=False picks the
+    widest centroid axis). This replaces the Morton-run ordering for
+    static builds: Morton runs of 128 cross space-filling-curve seams
+    and give loose cluster AABBs, which is pure slop in the dense
+    kernel's per-block gating. Plays the role of the driver's BLAS
+    builder quality (ref: src/Raytracer.cpp:1027-1157); the on-device
+    per-frame rebuild path keeps the Morton order (jit-friendly).
+    """
+    import numpy as np
+
+    v0 = np.asarray(v0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    c = v0 + (e1 + e2) / 3.0
+    tmin = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    tmax = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    T = c.shape[0]
+    order = np.arange(T, dtype=np.int64)
+    big = k1 * k2
+    stack = [(0, T)]
+    while stack:
+        lo, hi = stack.pop()
+        n = hi - lo
+        if n <= k1:
+            continue
+        align = big if n > big else k1
+        half = (n // 2 // align) * align
+        if half == 0:
+            half = align
+        sub = order[lo:hi]
+        cc = c[sub]
+        if sah:
+            best_cost, best_sel = None, None
+            for ax in range(3):
+                sel = np.argpartition(cc[:, ax], half)
+                li, ri = sub[sel[:half]], sub[sel[half:]]
+                cost = 0.0
+                for side, cnt in ((li, half), (ri, n - half)):
+                    ext = tmax[side].max(axis=0) - tmin[side].min(axis=0)
+                    area = (ext[0] * ext[1] + ext[1] * ext[2]
+                            + ext[2] * ext[0])
+                    cost += area * cnt
+                if best_cost is None or cost < best_cost:
+                    best_cost, best_sel = cost, sel
+            sel = best_sel
+        else:
+            ax = int(np.argmax(cc.max(axis=0) - cc.min(axis=0)))
+            sel = np.argpartition(cc[:, ax], half)
+        order[lo:hi] = sub[sel]
+        stack.append((lo + half, hi))
+        stack.append((lo, lo + half))
+    return order.astype(np.int32)
 
 
 def _morton_host(v0, e1, e2, lo, hi):
@@ -246,22 +319,22 @@ def _assemble_host(v0, e1, e2, order, attrs=None,
     cl_boxes[:, 0:3, :] = cl_min.reshape(C2, K2, 3).transpose(0, 2, 1)
     cl_boxes[:, 3:6, :] = cl_max.reshape(C2, K2, 3).transpose(0, 2, 1)
 
-    def lanes(x):
-        return x.reshape(C1, K1, -1).transpose(0, 2, 1).astype(np.float32)
+    def cols(x):
+        return x.reshape(C1, K1, -1).astype(np.float32)
 
-    rows = [lanes(sv0), lanes(se1), lanes(se2)]
+    rows = [cols(sv0), cols(se1), cols(se2)]
     if with_attributes:
         a = {k: np.asarray(x) for k, x in attrs.items()}
         for key in ("n0", "n1", "n2", "uv0", "uv1", "uv2", "t0", "t1", "t2"):
-            rows.append(lanes(pad(a[key][order], Tp)))
-        rows.append(lanes(pad(a["mat"][order].astype(np.float32), Tp)))
+            rows.append(cols(pad(a[key][order], Tp)))
+        rows.append(cols(pad(a["mat"][order].astype(np.float32), Tp)))
     else:
-        rows.append(np.zeros((C1, 27, K1), np.float32))
-    tri_data = np.concatenate(rows, axis=1)
-    if tri_data.shape[1] < ROWS:
+        rows.append(np.zeros((C1, K1, 27), np.float32))
+    tri_data = np.concatenate(rows, axis=2)
+    if tri_data.shape[2] < ROWS:
         tri_data = np.concatenate(
-            [tri_data, np.zeros((C1, ROWS - tri_data.shape[1], K1),
-                                np.float32)], axis=1)
+            [tri_data, np.zeros((C1, K1, ROWS - tri_data.shape[2]),
+                                np.float32)], axis=2)
     tri_data = pad(tri_data, C1p)
 
     return ClusterTree(sc_boxes=jnp.asarray(sc_boxes),

@@ -30,36 +30,36 @@ def refit_clusters(tree: ClusterTree, matrix: jnp.ndarray) -> ClusterTree:
     a = matrix[:3, :3]
     b = matrix[:3, 3]
 
-    td = tree.tri_data                       # [C1p, ROWS, K1]
+    td = tree.tri_data                       # [C1p, K1, ROWS]
     c1p = td.shape[0]
 
-    def rows3(r):
-        return td[:, r:r + 3, :]             # [C1p, 3, K1]
+    def cols3(r):
+        return td[:, :, r:r + 3]             # [C1p, K1, 3]
 
     def xform(x, translate):
-        y = jnp.einsum("ij,cjk->cik", a, x)
+        y = jnp.einsum("ij,ckj->cki", a, x)
         if translate:
-            y = y + b[None, :, None]
+            y = y + b[None, None, :]
         return y
 
-    v0 = xform(rows3(0), True)
-    e1 = xform(rows3(3), False)
-    e2 = xform(rows3(6), False)
+    v0 = xform(cols3(0), True)
+    e1 = xform(cols3(3), False)
+    e2 = xform(cols3(6), False)
 
     # leaf AABBs (padding slots neutralized via leaf_tri < 0)
     p0 = v0
     p1 = v0 + e1
     p2 = v0 + e2
-    lmin = jnp.minimum(jnp.minimum(p0, p1), p2)   # [C1p,3,K1]
+    lmin = jnp.minimum(jnp.minimum(p0, p1), p2)   # [C1p,K1,3]
     lmax = jnp.maximum(jnp.maximum(p0, p1), p2)
     valid = (tree.leaf_tri >= 0).reshape(-1, K1)  # [C1,K1] over real clusters
     c1 = valid.shape[0]
-    validp = jnp.pad(valid, ((0, c1p - c1), (0, 0)))[:, None, :]
+    validp = jnp.pad(valid, ((0, c1p - c1), (0, 0)))[:, :, None]
     lmin = jnp.where(validp, lmin, _INF)
     lmax = jnp.where(validp, lmax, -_INF)
 
-    cl_min = lmin.min(axis=2)                 # [C1p,3]
-    cl_max = lmax.max(axis=2)
+    cl_min = lmin.min(axis=1)                 # [C1p,3]
+    cl_max = lmax.max(axis=1)
 
     c2 = tree.cl_boxes.shape[0]
     cl_boxes = jnp.zeros((c2, 8, K2), jnp.float32)
@@ -77,23 +77,23 @@ def refit_clusters(tree: ClusterTree, matrix: jnp.ndarray) -> ClusterTree:
     sc_boxes = sc_boxes.at[3:6, :c2].set(sc_max.T)
 
     # shading attribute directions must follow the transform: vertex
-    # normals (rows 9-17) and tangents (24-32) rotate with A (uniform
+    # normals (cols 9-17) and tangents (24-32) rotate with A (uniform
     # scale is normalized away in shading); uvs/material ids unchanged.
     # (For non-uniform scale a true inverse-transpose would be needed —
     # the reference's TLAS transform is uniform, ref: Raytracer.cpp:1165.)
     def rot(r):
-        return jnp.einsum("ij,cjk->cik", a, td[:, r:r + 3, :])
+        return jnp.einsum("ij,ckj->cki", a, td[:, :, r:r + 3])
 
     attrs_mid = jnp.concatenate(
         [rot(9), rot(12), rot(15),            # n0 n1 n2
-         td[:, 18:24, :],                     # uvs
+         td[:, :, 18:24],                     # uvs
          rot(24), rot(27), rot(30),           # t0 t1 t2
-         td[:, 33:36, :]], axis=1)            # material ids
-    td = jnp.concatenate([v0, e1, e2, attrs_mid], axis=1)
-    if td.shape[1] < ROWS:
+         td[:, :, 33:36]], axis=2)            # material ids
+    td = jnp.concatenate([v0, e1, e2, attrs_mid], axis=2)
+    if td.shape[2] < ROWS:
         td = jnp.concatenate(
-            [td, jnp.zeros((c1p, ROWS - td.shape[1], K1), jnp.float32)],
-            axis=1)
+            [td, jnp.zeros((c1p, K1, ROWS - td.shape[2]), jnp.float32)],
+            axis=2)
 
     return ClusterTree(sc_boxes=sc_boxes, cl_boxes=cl_boxes,
                        tri_data=td, leaf_tri=tree.leaf_tri)

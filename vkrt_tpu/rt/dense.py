@@ -19,27 +19,27 @@ So rays never chase pointers. Instead, a grid of coherent ray blocks
            dense-tested once; gated CLUSTER ids + a conservative t lower
            bound (min slab-entry t over hitting rays) land in an SMEM
            work list, then the list is insertion-sorted by that bound so
-           the walk is strictly nearest-first. (Round 1 instead DMA'd the
-           full 1.7MB supercluster slab per visit — HBM-bound at ~11
-           Mrays/s.)
+           the walk is strictly nearest-first.
   phase 3  the sorted list is streamed with an NBUF-deep per-cluster DMA
            pipeline (20KB each); a scalar prune against the block's
            shrinking max-t (btmax) skips both the DMA and the sweep of
            clusters no live ray can reach. Each surviving cluster:
-           Möller–Trumbore of all R rays against its 128 triangles
-           [R, 128] in one VPU sweep; best hits (and, with
-           `with_attributes`, all 36 per-corner shading attributes) are
-           committed with masked lane reductions — no gather anywhere.
+           Möller–Trumbore of all R rays against its 128 triangles in one
+           VPU sweep; best hits (and, with `with_attributes`, all 36
+           per-corner shading attributes) are committed with masked
+           reductions — no gather anywhere.
+
+SWEEP ORIENTATION (round-2 rework): triangles live on SUBLANES, rays on
+LANES — sweeps are [K1, R] with tri constants [K1,1] and ray components
+[1,R]. The round-1 orientation (rays on sublanes) needed 28 input
+transposes, 40+ output relayouts and 64-vreg [R,1] per-ray state per
+block; in this orientation ray I/O is a free reshape of the engine's
+lane-major layout, per-ray state is [1,R] (4 vregs), and per-ray
+reductions run along the cheap sublane axis.
 
 Dead rays park with tmax=0 (wavefront/engine.py): the `t_s > TMIN` gate
 clause makes them invisible to all gating, so sparse secondary-ray
 wavefronts cost only their live blocks — compaction without a sort.
-
-I/O uses lane-major layouts ([3, Nb, 128] vectors / [Nb, 128] scalars,
-see utils/layout.py): narrow [N,1]/[N,3] shapes pad 42-128x under TPU
-(8,128) tiling — gigabytes of HBM and the same factor of bandwidth at
-1080p. DMA start/wait pairing is deterministic (depends only on list
-bounds): a started-but-unwaited prefetch wedges the core.
 
 Closest-hit and occlusion variants mirror the reference's two trace
 flavors (shader.rgen:51-62 vs shader.rchit:113-116). The occlusion
@@ -69,35 +69,25 @@ def _safe_inv(x):
 
 
 def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
-                  # outputs (lane-major)
+                  # outputs
                   t_out, slot_out, u_out, v_out, attr_out, stats_out,
                   # scratch
                   tris, sem, gated, tlb, started, nlist,
                   counters, sc_mask, btmax, t_s, slot_s, u_s, v_s, attr_s,
                   *, n_sc: int, occlusion: bool, with_attributes: bool,
                   stats: bool):
-    G = o_ref.shape[2]            # ray groups of 128 lanes
-    R = G * LANES
+    R = o_ref.shape[-1]           # rays per block, on lanes
     NBUF = sem.shape[0]           # per-cluster DMA pipeline depth
 
-    def to_sublanes(rows):        # [G,128] lane-major → [R,1] sublane-major
-        # Mosaic rejects the direct (G,128)->(R,1) shape cast; per-group
-        # (1,128)->(128,1) transposes are supported.
-        return jnp.concatenate(
-            [jnp.swapaxes(rows[g:g + 1, :], 0, 1) for g in range(G)], axis=0)
-
-    def col(ref, c):
-        return to_sublanes(ref[c, 0])
-
-    ox, oy, oz = col(o_ref, 0), col(o_ref, 1), col(o_ref, 2)
-    dx, dy, dz = col(d_ref, 0), col(d_ref, 1), col(d_ref, 2)
+    ox, oy, oz = o_ref[0, 0], o_ref[1, 0], o_ref[2, 0]       # [1,R]
+    dx, dy, dz = d_ref[0, 0], d_ref[1, 0], d_ref[2, 0]
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-    tmax = to_sublanes(tmax_ref[0])
+    tmax = tmax_ref[0]                                        # [1,R]
 
     t_s[:] = tmax
-    slot_s[:] = jnp.full((R, 1), -1, jnp.int32)
-    u_s[:] = jnp.zeros((R, 1), jnp.float32)
-    v_s[:] = jnp.zeros((R, 1), jnp.float32)
+    slot_s[:] = jnp.full((1, R), -1, jnp.int32)
+    u_s[:] = jnp.zeros((1, R), jnp.float32)
+    v_s[:] = jnp.zeros((1, R), jnp.float32)
     btmax[0] = jnp.max(tmax)
     nlist[0] = 0
     if with_attributes:
@@ -107,8 +97,8 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         counters[1] = 0
 
     def slab_entry(bmin_x, bmin_y, bmin_z, bmax_x, bmax_y, bmax_z):
-        """Dense slab test rays x boxes ([R,1] vs [1,L]).
-        Returns (any-hit per box [1,L], conservative box-entry t [1,L] =
+        """Dense slab test boxes x rays ([L,1] vs [1,R] → [L,R]).
+        Returns (any-hit per box [L,1], conservative box-entry t [L,1] =
         min over hitting rays of their slab tn — the tight, DIRECTIONAL
         lower bound on any hit t inside the box).
 
@@ -127,35 +117,19 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
         hit = (tn <= tf) & (tf >= TMIN) & (tn <= t_s[:]) & (t_s[:] > TMIN)
-        entry = jnp.min(jnp.where(hit, tn, _INF), axis=0, keepdims=True)
-        return jnp.any(hit, axis=0, keepdims=True), entry
-
-    def hit_bitmask(hits):
-        """Pack an any-hit row [1,L] (L<=128) into two scalar i32 bitmasks,
-        so per-element gating in the loops below is pure scalar work
-        (one vector reduce here instead of one per loop iteration)."""
-        lane = jax.lax.broadcasted_iota(jnp.int32, hits.shape, 1)
-        w = jnp.left_shift(jnp.int32(1), lane & 31)
-        lo = jnp.sum(jnp.where(hits & (lane < 32), w, 0))
-        hi = jnp.sum(jnp.where(hits & (lane >= 32) & (lane < 64), w, 0))
-        return lo, hi
+        entry = jnp.min(jnp.where(hit, tn, _INF), axis=1, keepdims=True)
+        return jnp.any(hit, axis=1, keepdims=True), entry
 
     def tri_block(slot, base_slot):
-        """Möller–Trumbore: all R rays against the 128 tris of pipeline
-        buffer `slot` (one cluster); base_slot = global cluster id.
+        """Möller–Trumbore: all R rays (lanes) against the 128 tris
+        (sublanes) of pipeline buffer `slot`; base_slot = global cluster
+        id. All products are [K1, R]."""
+        chunk = tris[slot]                            # [K1, ROWS]
+        v0x, v0y, v0z = chunk[:, 0:1], chunk[:, 1:2], chunk[:, 2:3]
+        e1x, e1y, e1z = chunk[:, 3:4], chunk[:, 4:5], chunk[:, 5:6]
+        e2x, e2y, e2z = chunk[:, 6:7], chunk[:, 7:8], chunk[:, 8:9]
 
-        (A Woop-transform MXU intersector was built and measured in round
-        2 — Y = X @ B unit-triangle transform, one [R,8]x[8,768] matmul +
-        14 VPU ops — but the K=8 matmul only beats the VPU at the MXU's
-        native bf16 precision, which leaks 9%% of rays through seams;
-        f32-emulated passes cost more than Möller–Trumbore. Excised; see
-        ROADMAP.md for the full measurements.)"""
-        chunk = tris[slot]                            # [ROWS, K1]
-        v0x, v0y, v0z = chunk[0:1, :], chunk[1:2, :], chunk[2:3, :]
-        e1x, e1y, e1z = chunk[3:4, :], chunk[4:5, :], chunk[5:6, :]
-        e2x, e2y, e2z = chunk[6:7, :], chunk[7:8, :], chunk[8:9, :]
-
-        hx = dy * e2z - dz * e2y              # [R,K1]
+        hx = dy * e2z - dz * e2y              # [K1,R]
         hy = dz * e2x - dx * e2z
         hz = dx * e2y - dy * e2x
         det = e1x * hx + e1y * hy + e1z * hz
@@ -177,7 +151,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
             ok = ((adet > _DET_EPS) & (su >= 0) & (sv >= 0)
                   & (su + sv <= adet) & (st > TMIN * adet)
                   & (st < t_s[:] * adet))
-            anyhit = jnp.any(ok, axis=1, keepdims=True)   # [R,1]
+            anyhit = jnp.any(ok, axis=0, keepdims=True)   # [1,R]
             @pl.when(jnp.any(anyhit))
             def _():
                 slot_s[:] = jnp.where(anyhit, 1, slot_s[:])
@@ -193,30 +167,30 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         ok = ((adet > _DET_EPS) & (uu >= 0) & (vv >= 0)
               & (uu + vv <= 1) & (tt > TMIN) & (tt < t_s[:]))
 
-        tm = jnp.min(jnp.where(ok, tt, _INF), axis=1, keepdims=True)  # [R,1]
+        tm = jnp.min(jnp.where(ok, tt, _INF), axis=0, keepdims=True)  # [1,R]
         better = tm < t_s[:]
 
         @pl.when(jnp.any(better))
         def _():
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (R, K1), 1)
+            subl = jax.lax.broadcasted_iota(jnp.int32, (K1, R), 0)
             eq = ok & (tt == tm)
-            lane_sel = jnp.min(jnp.where(eq, lanes, K1), axis=1, keepdims=True)
-            onehot = lanes == lane_sel        # [R,K1], exactly one lane where better
-            u_sel = jnp.sum(jnp.where(onehot, uu, 0.0), axis=1, keepdims=True)
-            v_sel = jnp.sum(jnp.where(onehot, vv, 0.0), axis=1, keepdims=True)
+            tri_sel = jnp.min(jnp.where(eq, subl, K1), axis=0, keepdims=True)
+            onehot = subl == tri_sel          # [K1,R], one tri per better ray
+            u_sel = jnp.sum(jnp.where(onehot, uu, 0.0), axis=0, keepdims=True)
+            v_sel = jnp.sum(jnp.where(onehot, vv, 0.0), axis=0, keepdims=True)
             t_s[:] = jnp.where(better, tm, t_s[:])
             btmax[0] = jnp.max(t_s[:])
-            slot_s[:] = jnp.where(better, base_slot * K1 + lane_sel, slot_s[:])
+            slot_s[:] = jnp.where(better, base_slot * K1 + tri_sel, slot_s[:])
             u_s[:] = jnp.where(better, u_sel, u_s[:])
             v_s[:] = jnp.where(better, v_sel, v_s[:])
             if with_attributes:
-                # all 36 shading attributes of each ray's winning lane in
-                # ONE MXU matmul: onehot[R,K1] @ attrs[36,K1]^T → [R,36]
+                # all 36 shading attributes of each ray's winning tri in
+                # ONE MXU matmul: attrs[K1,36]ᵀ·onehot[K1,R] → [36,R]
                 # (36 VPU masked reduces per commit made the attrs path
                 # 2x slower than the plain trace — measured round 2)
                 sel = jax.lax.dot_general(
-                    onehot.astype(jnp.float32), chunk[0:36, :],
-                    (((1,), (1,)), ((), ())),
+                    chunk[:, 0:36], onehot.astype(jnp.float32),
+                    (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 attr_s[:] = jnp.where(better, sel, attr_s[:])
 
@@ -225,13 +199,14 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     # the driver-BVH generality analogue of ref Raytracer.cpp:1027-1157).
     # This is the coarse (t-unaware) cull; the per-supercluster recheck
     # below implements early termination as t_s shrinks.
-    sc_hits, _ = slab_entry(sc_ref[0:1, :], sc_ref[1:2, :], sc_ref[2:3, :],
-                            sc_ref[3:4, :], sc_ref[4:5, :], sc_ref[5:6, :])
-    sc_lane = jax.lax.broadcasted_iota(jnp.int32, sc_hits.shape, 1)
-    sc_w = jnp.left_shift(jnp.int32(1), sc_lane & 31)
+    scb = jnp.swapaxes(sc_ref[:], 0, 1)       # [C2p, 8]: boxes → sublanes
+    sc_hits, _ = slab_entry(scb[:, 0:1], scb[:, 1:2], scb[:, 2:3],
+                            scb[:, 3:4], scb[:, 4:5], scb[:, 5:6])
+    sc_sub = jax.lax.broadcasted_iota(jnp.int32, sc_hits.shape, 0)
+    sc_w = jnp.left_shift(jnp.int32(1), sc_sub & 31)
     n_words = sc_mask.shape[0]
     for w in range(n_words):
-        in_word = (sc_lane >= w * 32) & (sc_lane < (w + 1) * 32)
+        in_word = (sc_sub >= w * 32) & (sc_sub < (w + 1) * 32)
         sc_mask[w] = jnp.sum(jnp.where(sc_hits & in_word, sc_w, 0))
 
     def test_sc(s):
@@ -252,22 +227,24 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     # Prepass: walk gated superclusters in front-to-back order; per SC,
     # one dense cluster-box test emits the gated CLUSTERS (global ids +
     # their conservative t lower bound) into the SMEM work list. The main
-    # loop below streams INDIVIDUAL clusters (26KB each) — round 1 DMA'd
-    # the whole 1.7MB supercluster slab per visit and was HBM-bound.
-    cl_lane = jax.lax.broadcasted_iota(jnp.int32, (1, K2), 1)
+    # loop below streams INDIVIDUAL clusters (20KB each).
+    cl_sub = jax.lax.broadcasted_iota(jnp.int32, (K2, 1), 0)
 
     def pre_body(k, _):
         s = order_ref[0, 0, k]
 
         @pl.when((s >= 0) & test_sc(s))
         def _():
-            cb = cl_ref[s]                    # [8, K2]
-            cl_any, entry = slab_entry(cb[0:1, :], cb[1:2, :], cb[2:3, :],
-                                       cb[3:4, :], cb[4:5, :], cb[5:6, :])
+            cb = jnp.swapaxes(cl_ref[s], 0, 1)    # [K2, 8]
+            cl_any, entry = slab_entry(cb[:, 0:1], cb[:, 1:2], cb[:, 2:3],
+                                       cb[:, 3:4], cb[:, 4:5], cb[:, 5:6])
             # entry = per-cluster conservative t lower bound (min slab tn
             # over hitting rays); 0.9999 guards f32 rounding of tn so the
             # prune can never discard a boundary hit
-            cl_lo, cl_hi = hit_bitmask(cl_any & (entry < btmax[0]))
+            good = cl_any & (entry < btmax[0])    # [K2,1]
+            w_bits = jnp.left_shift(jnp.int32(1), cl_sub & 31)
+            cl_lo = jnp.sum(jnp.where(good & (cl_sub < 32), w_bits, 0))
+            cl_hi = jnp.sum(jnp.where(good & (cl_sub >= 32), w_bits, 0))
 
             def word_emit(word_base, mask0):
                 def body(m):
@@ -275,7 +252,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                     cnt = nlist[0]
                     gated[cnt] = s * K2 + c
                     tlb[cnt] = 0.9999 * jnp.sum(
-                        jnp.where(cl_lane == c, entry, 0.0))
+                        jnp.where(cl_sub == c, entry, 0.0))
                     nlist[0] = cnt + 1
                     return m & (m - 1)
 
@@ -293,7 +270,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     # Insertion-sort the work list by conservative t lower bound (scalar,
     # SMEM): visiting strictly nearest-first shrinks btmax as early as
     # possible, so far clusters get pruned before their DMA is even
-    # issued. n is ~25-40 per block — O(n^2) scalar work is ~2us against
+    # issued. n is ~10-40 per block — O(n^2) scalar work is ~2us against
     # the multi-sweep savings.
     def ins_body(i, _):
         key_t = tlb[i]
@@ -360,14 +337,13 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
 
     jax.lax.fori_loop(0, count, cl_body, 0)
 
-    # write lane-major outputs (one relayout per output per block)
-    t_out[0] = t_s[:].reshape(G, LANES)
-    slot_out[0] = slot_s[:].reshape(G, LANES)
-    u_out[0] = u_s[:].reshape(G, LANES)
-    v_out[0] = v_s[:].reshape(G, LANES)
+    # outputs are already lane-major [1,R] — plain copies, no relayout
+    t_out[0] = t_s[:]
+    slot_out[0] = slot_s[:]
+    u_out[0] = u_s[:]
+    v_out[0] = v_s[:]
     if with_attributes:
-        for r in range(36):
-            attr_out[r, 0] = attr_s[:, r:r + 1].reshape(G, LANES)
+        attr_out[:, 0, 0, :] = attr_s[:]
     if stats:
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
         stats_out[:] = jnp.where(lane128 == 0, counters[0],
@@ -392,7 +368,6 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     nb = origins.shape[1]
     N = nb * LANES
     assert N % block == 0, f"ray count {N} not a multiple of block {block}"
-    G = block // LANES
     n_sc = tree.num_superclusters
     c2p = tree.sc_boxes.shape[1]
     NBUF = 4                          # cluster DMA pipeline depth
@@ -430,26 +405,26 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                                with_attributes=with_attributes, stats=stats)
     grid = (nblocks,)
     attr_rows = 36 if with_attributes else 1
-    # Mosaic requires block last-two dims divisible by (8,128) or equal to
-    # the array's — so per-ray data ships as [nblocks, G, 128] (block
-    # (1, G, 128)), a free reshape of the engine's [Nb, 128] layout.
-    o_k = origins.reshape(3, nblocks, G, LANES)
-    d_k = dirs.reshape(3, nblocks, G, LANES)
-    tmax_k = tmax.reshape(nblocks, G, LANES)
+    # Ray I/O rides as [·, nblocks, 1, block] — a free reshape of the
+    # engine's [Nb, 128] lane-major layout, consumed by the kernel as
+    # [1, block] rows directly (no in-kernel transposes).
+    o_k = origins.reshape(3, nblocks, 1, block)
+    d_k = dirs.reshape(3, nblocks, 1, block)
+    tmax_k = tmax.reshape(nblocks, 1, block)
     out_shape = [
-        jax.ShapeDtypeStruct((nblocks, G, LANES), jnp.float32),   # t
-        jax.ShapeDtypeStruct((nblocks, G, LANES), jnp.int32),     # slot
-        jax.ShapeDtypeStruct((nblocks, G, LANES), jnp.float32),   # u
-        jax.ShapeDtypeStruct((nblocks, G, LANES), jnp.float32),   # v
-        jax.ShapeDtypeStruct((attr_rows, nblocks, G, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nblocks, 1, block), jnp.float32),   # t
+        jax.ShapeDtypeStruct((nblocks, 1, block), jnp.int32),     # slot
+        jax.ShapeDtypeStruct((nblocks, 1, block), jnp.float32),   # u
+        jax.ShapeDtypeStruct((nblocks, 1, block), jnp.float32),   # v
+        jax.ShapeDtypeStruct((attr_rows, nblocks, 1, block), jnp.float32),
         jax.ShapeDtypeStruct((nblocks, 1, 128), jnp.int32),   # stats
     ]
     out_specs = [
-        pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((attr_rows, 1, G, LANES), lambda i: (0, i, 0, 0),
+        pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((attr_rows, 1, 1, block), lambda i: (0, i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
@@ -457,9 +432,9 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
         pl.BlockSpec((1, 1, order_w), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((8, c2p), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_sc, 8, K2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, 1, G, LANES), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, 1, G, LANES), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 1, 1, block), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 1, 1, block), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),        # tri_data stays in HBM
     ]
     t, slot, u, v, attrs, stat = pl.pallas_call(
@@ -469,7 +444,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((NBUF, ROWS, K1), jnp.float32),   # cluster DMA pipeline
+            pltpu.VMEM((NBUF, K1, ROWS), jnp.float32),   # cluster DMA pipeline
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SMEM((maxc,), jnp.int32),              # gated cluster list
             pltpu.SMEM((maxc,), jnp.float32),            # conservative t bounds
@@ -478,11 +453,11 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
             pltpu.SMEM((2,), jnp.int32),                 # visit counters
             pltpu.SMEM((order_w // 32,), jnp.int32),     # supercluster hit words
             pltpu.SMEM((1,), jnp.float32),               # block max-t (btmax)
-            pltpu.VMEM((block, 1), jnp.float32),          # t state
-            pltpu.VMEM((block, 1), jnp.int32),            # slot state
-            pltpu.VMEM((block, 1), jnp.float32),          # u state
-            pltpu.VMEM((block, 1), jnp.float32),          # v state
-            pltpu.VMEM((block, attr_rows), jnp.float32),  # attr state
+            pltpu.VMEM((1, block), jnp.float32),          # t state
+            pltpu.VMEM((1, block), jnp.int32),            # slot state
+            pltpu.VMEM((1, block), jnp.float32),          # u state
+            pltpu.VMEM((1, block), jnp.float32),          # v state
+            pltpu.VMEM((attr_rows, block), jnp.float32),  # attr state
         ],
         interpret=interpret,
     )(sc_order, tree.sc_boxes, tree.cl_boxes, o_k, d_k, tmax_k,
