@@ -11,7 +11,7 @@ from vkrt_tpu.app.camera import Camera
 from vkrt_tpu.app.framebuffer import rmse
 from vkrt_tpu.scene import build_texture_heap, flatten_model
 from vkrt_tpu.scene.model import Model
-from vkrt_tpu.wavefront.engine import (TextureArrays, make_backend,
+from vkrt_tpu.wavefront.engine import (texture_arrays, make_backend,
                                        render_frame)
 
 W, H = 64, 48
@@ -24,12 +24,7 @@ def scene(sponza_model):
                   images=sponza_model.images)
     flat = flatten_model(model)
     heap = build_texture_heap(model.images)
-    tex = TextureArrays(
-        texels_quad=jnp.asarray(heap.quad_texels()),
-        level_offset=jnp.asarray(heap.level_offset),
-        level_width=jnp.asarray(heap.level_width),
-        level_height=jnp.asarray(heap.level_height),
-    )
+    tex = texture_arrays(model.images, flat)
     cam = Camera(W, H)
     cam.set_position(C.CAMERA_START_POSITION)
     cam.set_rotation(C.CAMERA_START_ROTATION)

@@ -63,7 +63,7 @@ def test_midpath_camera_pose_golden(sponza_model):
     from vkrt_tpu.golden import render_golden
     from vkrt_tpu.scene import build_texture_heap, flatten_model
     from vkrt_tpu.scene.model import Model
-    from vkrt_tpu.wavefront.engine import (TextureArrays, make_backend,
+    from vkrt_tpu.wavefront.engine import (texture_arrays, make_backend,
                                            render_frame)
 
     model = Model(submeshes=sponza_model.submeshes[:6],
@@ -71,12 +71,7 @@ def test_midpath_camera_pose_golden(sponza_model):
                   images=sponza_model.images)
     flat = flatten_model(model)
     heap = build_texture_heap(model.images)
-    tex = TextureArrays(
-        texels_quad=jnp.asarray(heap.quad_texels()),
-        level_offset=jnp.asarray(heap.level_offset),
-        level_width=jnp.asarray(heap.level_width),
-        level_height=jnp.asarray(heap.level_height),
-    )
+    tex = texture_arrays(model.images, flat)
     backend = make_backend(flat, "reference")
     cams = list(camera_path(64, 48))
     cam = cams[80]

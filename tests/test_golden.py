@@ -19,7 +19,7 @@ from vkrt_tpu.app.framebuffer import rmse
 from vkrt_tpu.golden import render_golden
 from vkrt_tpu.scene import build_texture_heap, flatten_model
 from vkrt_tpu.scene.model import Model
-from vkrt_tpu.wavefront.engine import (TextureArrays, make_backend,
+from vkrt_tpu.wavefront.engine import (texture_arrays, make_backend,
                                        render_frame)
 
 W, H = 64, 48
@@ -33,12 +33,7 @@ def subset(sponza_model):
                   images=sponza_model.images)
     flat = flatten_model(model)
     heap = build_texture_heap(model.images)
-    tex = TextureArrays(
-        texels_quad=jnp.asarray(heap.quad_texels()),
-        level_offset=jnp.asarray(heap.level_offset),
-        level_width=jnp.asarray(heap.level_width),
-        level_height=jnp.asarray(heap.level_height),
-    )
+    tex = texture_arrays(model.images, flat)
     backend = make_backend(flat, "reference")
     cam = Camera(W, H)
     cam.set_position(C.CAMERA_START_POSITION)
@@ -110,12 +105,7 @@ def test_full_scene_dense_backend_vs_native_oracle(sponza_model):
     cfg = dataclasses.replace(C.config2_shadows(), width=128, height=96)
     flat = flatten_model(sponza_model)
     heap = build_texture_heap(sponza_model.images)
-    tex = TextureArrays(
-        texels_quad=jnp.asarray(heap.quad_texels()),
-        level_offset=jnp.asarray(heap.level_offset),
-        level_width=jnp.asarray(heap.level_width),
-        level_height=jnp.asarray(heap.level_height),
-    )
+    tex = texture_arrays(sponza_model.images, flat)
     backend = make_backend(flat, "dense")
     cam = Camera(cfg.width, cfg.height)
     cam.set_position(C.CAMERA_START_POSITION)

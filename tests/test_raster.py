@@ -14,7 +14,7 @@ from vkrt_tpu.golden.raster_oracle import render_golden_raster
 from vkrt_tpu.raster import render_raster_frame
 from vkrt_tpu.scene import build_texture_heap, flatten_model
 from vkrt_tpu.scene.model import Model
-from vkrt_tpu.wavefront.engine import TextureArrays, make_backend
+from vkrt_tpu.wavefront.engine import make_backend, texture_arrays
 
 W, H = 64, 48
 
@@ -26,12 +26,7 @@ def scene(sponza_model):
                   images=sponza_model.images)
     flat = flatten_model(model)
     heap = build_texture_heap(model.images)
-    tex = TextureArrays(
-        texels_quad=jnp.asarray(heap.quad_texels()),
-        level_offset=jnp.asarray(heap.level_offset),
-        level_width=jnp.asarray(heap.level_width),
-        level_height=jnp.asarray(heap.level_height),
-    )
+    tex = texture_arrays(model.images, flat)
     backend = make_backend(flat, "reference")
     cam = Camera(W, H)
     cam.set_position(C.CAMERA_START_POSITION)

@@ -1,49 +1,104 @@
-"""Device sampler vs the oracle sampler — bilinear/repeat semantics parity."""
+"""Device material-sampler vs the oracle sampler — bilinear/repeat parity.
+
+The device samples all three maps of a material slot in one gather from
+the packed 48-byte material heap (scene/textures.py build_material_heap);
+the oracle (golden/cpu_tracer.sample_texture) samples original per-image
+data independently.
+"""
 
 import jax.numpy as jnp
 import numpy as np
 
 from vkrt_tpu.golden.cpu_tracer import sample_texture
 from vkrt_tpu.scene.model import Image
-from vkrt_tpu.scene.textures import build_texture_heap
-from vkrt_tpu.shade.sampling import sample_bilinear
+from vkrt_tpu.scene.textures import (bilinear_resize, build_material_heap,
+                                     build_texture_heap)
+from vkrt_tpu.shade.sampling import sample_material
 from vkrt_tpu.utils import layout as L
 
 
-def make_heap(rng):
-    imgs = [Image(width=16, height=8,
+def make_images(rng):
+    return [Image(width=16, height=8,
+                  data=rng.integers(0, 256, (8, 16, 4)).astype(np.uint8)),
+            Image(width=16, height=8,
+                  data=rng.integers(0, 256, (8, 16, 4)).astype(np.uint8)),
+            Image(width=16, height=8,
                   data=rng.integers(0, 256, (8, 16, 4)).astype(np.uint8)),
             Image(width=4, height=4,
                   data=rng.integers(0, 256, (4, 4, 4)).astype(np.uint8))]
-    return build_texture_heap(imgs)
 
 
-def test_sampler_matches_oracle(rng):
-    heap = make_heap(rng)
-    n = 256
-    tex_ids = rng.integers(0, 2, n).astype(np.int32)
-    uv = rng.uniform(-2.0, 3.0, (n, 2)).astype(np.float32)  # exercises wrap
-
-    got = sample_bilinear(jnp.asarray(heap.quad_texels()),
+def run_sampler(heap, slot_ids, uv):
+    out = sample_material(jnp.asarray(heap.texels_tri),
                           jnp.asarray(heap.level_offset),
                           jnp.asarray(heap.level_width),
                           jnp.asarray(heap.level_height),
-                          L.to_lanes(jnp.asarray(tex_ids)),
+                          L.to_lanes(jnp.asarray(slot_ids)),
                           jnp.stack([L.to_lanes(jnp.asarray(uv[:, 0])),
                                      L.to_lanes(jnp.asarray(uv[:, 1]))]))
-    got = np.stack([L.from_lanes(got[c]) for c in range(4)], axis=1)
-    want = sample_texture(heap, tex_ids.astype(np.int64), uv)
-    np.testing.assert_allclose(got, want, atol=1e-5)
+    return [np.stack([L.from_lanes(m[c]) for c in range(4)], axis=1)
+            for m in out]
 
 
-def test_quad_heap_consistency(rng):
-    heap = make_heap(rng)
-    q = heap.quad_texels()
-    # quad[:, 0:4] is the texel itself
-    np.testing.assert_array_equal(q[:, 0:4], heap.texels)
-    # wrap: last column's right neighbor is column 0 (image 0, level 0)
-    w = int(heap.level_width[0, 0])
-    np.testing.assert_array_equal(q[w - 1, 4:8], heap.texels[0])
+def test_material_sampler_matches_oracle(rng):
+    imgs = make_images(rng)
+    triples = np.array([[0, 1, 2], [2, 0, 1]], np.int32)  # co-sized maps
+    heap = build_material_heap(imgs, triples)
+    oracle_heap = build_texture_heap(imgs)
+
+    n = 256
+    slots = rng.integers(0, 2, n).astype(np.int32)
+    uv = rng.uniform(-2.0, 3.0, (n, 2)).astype(np.float32)  # exercises wrap
+    got = run_sampler(heap, slots, uv)
+    for k in range(3):
+        img_ids = triples[slots, k].astype(np.int64)
+        want = sample_texture(oracle_heap, img_ids, uv)
+        np.testing.assert_allclose(got[k], want, atol=1e-5)
+
+
+def test_material_heap_mixed_sizes(rng):
+    """A slot mixing a 4x4 map with 16x8 maps: the small map is co-sized
+    by bilinear resize. Resampling a resized map deviates from the
+    original's reconstruction near the original's knots (kink
+    misalignment, bounded by neighbor-delta x fine/coarse ratio); for a
+    CONSTANT small map — the only mismatched case in Sponza, a solid
+    4x4 fallback — the resize is exact."""
+    imgs = make_images(rng)
+    # constant 4x4 base (the Sponza material-2 shape): must be exact
+    imgs[3] = Image(width=4, height=4,
+                    data=np.full((4, 4, 4), 197, np.uint8))
+    triples = np.array([[3, 1, 2]], np.int32)
+    heap = build_material_heap(imgs, triples)
+    oracle_heap = build_texture_heap(imgs)
+
+    n = 256
+    slots = np.zeros(n, np.int32)
+    uv = rng.uniform(0.0, 1.0, (n, 2)).astype(np.float32)
+    got = run_sampler(heap, slots, uv)
+    want = sample_texture(oracle_heap, np.full(n, 3, np.int64), uv)
+    np.testing.assert_allclose(got[0], want, atol=1e-5)    # constant: exact
+    for k, img in ((1, 1), (2, 2)):                        # untouched maps
+        want = sample_texture(oracle_heap, np.full(n, img, np.int64), uv)
+        np.testing.assert_allclose(got[k], want, atol=1e-5)
+
+    # random (worst-case) mismatched content stays within the kink bound
+    imgs2 = make_images(rng)
+    heap2 = build_material_heap(imgs2, triples)
+    oracle2 = build_texture_heap(imgs2)
+    got2 = run_sampler(heap2, slots, uv)
+    want2 = sample_texture(oracle2, np.full(n, 3, np.int64), uv)
+    assert np.abs(got2[0] - want2).max() < 0.3
+
+
+def test_bilinear_resize_identity_and_upsample():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)
+    np.testing.assert_array_equal(bilinear_resize(img, 4, 4), img)
+    up = bilinear_resize(img, 12, 12)
+    # odd-factor upsample preserves original texel values at the aligned
+    # centers: output texel x = 3k+1 maps to source coordinate
+    # (x+0.5)/12*4-0.5 = k exactly
+    np.testing.assert_array_equal(up[1::3, 1::3], img)
 
 
 def test_layout_roundtrips(rng):

@@ -128,27 +128,24 @@ def main():
                 "swept_per_block": round(float(st[:, 1].mean()), 1)}))
 
     if "sample" in steps:
-        # texture-sampling cost at frame scale (3 maps x 2.07M rays)
-        from vkrt_tpu.shade.sampling import sample_bilinear
+        # texture-sampling cost at frame scale (all 3 maps of 2.07M hits
+        # in ONE packed-heap gather)
+        from vkrt_tpu.shade.sampling import sample_material
         _, tex2, _ = load_scene_assets(SCENE, 512)
+        nslots = int(tex2.level_offset.shape[0])
         nb = 2073600 // 128
         rng = np.random.default_rng(3)
-        ids = jnp.asarray(rng.integers(0, 60, (nb, 128)), jnp.int32)
+        ids = jnp.asarray(rng.integers(0, nslots, (nb, 128)), jnp.int32)
         uv = jnp.asarray(rng.uniform(0, 4, (2, nb, 128)), jnp.float32)
 
         @jax.jit
-        def three_maps(ids, uv):
-            a = sample_bilinear(tex2.texels_quad, tex2.level_offset,
-                                tex2.level_width, tex2.level_height, ids, uv)
-            b = sample_bilinear(tex2.texels_quad, tex2.level_offset,
-                                tex2.level_width, tex2.level_height, ids,
-                                uv * 0.5)
-            c = sample_bilinear(tex2.texels_quad, tex2.level_offset,
-                                tex2.level_width, tex2.level_height, ids,
-                                uv * 0.25)
+        def three_maps(tex2, ids, uv):
+            a, b, c = sample_material(tex2.texels_tri, tex2.level_offset,
+                                      tex2.level_width, tex2.level_height,
+                                      ids, uv)
             return a + b + c
 
-        dt = bench(lambda: (three_maps(ids, uv),))
+        dt = bench(lambda: (three_maps(tex2, ids, uv),))
         print(json.dumps({"step": "sample3maps_2M",
                           "ms": round(dt * 1e3, 1)}))
 
@@ -207,6 +204,111 @@ def main():
                 "mrays_occl": round(n / do / 1e6, 2),
                 "gated_per_block": round(float(st[:, 0].mean()), 1),
                 "swept_per_block": round(float(st[:, 1].mean()), 1)}))
+
+    if "glue" in steps:
+        # 1080p: time the frame's pieces separately to expose XLA glue
+        import functools
+
+        from vkrt_tpu.wavefront.engine import camera_ray_blocks
+        cam = Camera(1920, 1080)
+        cam.set_position(C.CAMERA_START_POSITION)
+        cam.set_rotation(C.CAMERA_START_ROTATION)
+        cfg = C.config4_flythrough()
+        pi, vi = jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse)
+
+        rays_fn = jax.jit(functools.partial(camera_ray_blocks, cfg=cfg))
+        o1, d1 = rays_fn(pi, vi)
+        o1.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(5):
+            o1, d1 = rays_fn(pi, vi)
+        o1.block_until_ready()
+        print(json.dumps({"step": "glue:raygen_tile",
+                          "ms": round((time.perf_counter() - t0) / 5 * 1e3, 1)}))
+
+        tm1 = jnp.full(o1.shape[1:], C.RAY_TMAX, jnp.float32)
+        dt = bench(lambda: trace_dense(tree, o1, d1, tm1,
+                                       with_attributes=True))
+        n1 = o1.shape[1] * 128
+        print(json.dumps({"step": "glue:trace1080",
+                          "mrays": round(n1 / dt / 1e6, 2),
+                          "ms": round(dt * 1e3, 1)}))
+        dto = bench(lambda: trace_dense(tree, o1, d1, tm1, occlusion=True))
+        print(json.dumps({"step": "glue:occl1080",
+                          "mrays": round(n1 / dto / 1e6, 2),
+                          "ms": round(dto * 1e3, 1)}))
+
+        # prologue alone: the per-trace sc_order argsort
+        @jax.jit
+        def prologue(o, d):
+            nblocks = o.shape[1] * 128 // 512
+            ob = o.reshape(3, nblocks, 512).mean(axis=2)
+            db = d.reshape(3, nblocks, 512).mean(axis=2)
+            key = ob[0] + db[0]
+            return jnp.argsort(
+                jnp.broadcast_to(key[:, None], (nblocks, 33)), axis=1)
+
+        x = prologue(o1, d1)
+        x.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(5):
+            x = prologue(o1, d1)
+        x.block_until_ready()
+        print(json.dumps({"step": "glue:sc_order_argsort",
+                          "ms": round((time.perf_counter() - t0) / 5 * 1e3, 1)}))
+
+    if "glue2" in steps:
+        # bisect the flat-albedo frame: engine pieces added one at a time
+        import functools
+
+        from vkrt_tpu.shade import shading
+        from vkrt_tpu.shade.sampling import sample_material
+        from vkrt_tpu.wavefront.engine import (camera_ray_blocks, untile,
+                                               _pad_dims)
+        from vkrt_tpu.utils import layout as L
+        _, tex2, _ = load_scene_assets(SCENE, 64)
+        cam = Camera(1920, 1080)
+        cam.set_position(C.CAMERA_START_POSITION)
+        cam.set_rotation(C.CAMERA_START_ROTATION)
+        cfg = C.config4_flythrough()
+        pi, vi = jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse)
+
+        def stage_a(pi, vi, tex2):           # raygen+trace+interp+sample+acc
+            o, d = camera_ray_blocks(pi, vi, cfg=cfg)
+            tmax = jnp.where(o[0] != 1.0e7, C.RAY_TMAX, 0.0)
+            t, slot, u, v, attrs = trace_dense(tree, o, d, tmax,
+                                               with_attributes=True)
+            hit = slot >= 0
+            pos, normal, uv, tangent, mat_ids = shading.interpolate(
+                attrs, u, v)
+            base, _, _ = sample_material(tex2.texels_tri, tex2.level_offset,
+                                         tex2.level_width, tex2.level_height,
+                                         mat_ids[0], uv)
+            base = base[:3]
+            accum = jnp.where(hit[None], base, 0.0)
+            return accum, jnp.sum(hit)
+
+        def stage_b(pi, vi, tex2):           # + untile + u8 quantize
+            accum, rays = stage_a(pi, vi, tex2)
+            wp, hp = _pad_dims(cfg.width, cfg.height)
+            fb = jnp.stack([untile(accum[k], hp, wp)[:1080, :1920]
+                            for k in range(3)], axis=-1)
+            fb8 = jnp.clip(fb * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+            return fb8, rays
+
+        for name, fn in (("stage_a", stage_a), ("stage_b", stage_b)):
+            jf = jax.jit(fn)
+            r = jf(pi, vi, tex2)
+            _ = float(jnp.sum(r[1]))
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    r = jf(pi, vi, tex2)
+                _ = float(jnp.sum(r[1]))
+                best = min(best, (time.perf_counter() - t0) / 3)
+            print(json.dumps({"step": f"glue2:{name}",
+                              "ms": round(best * 1e3, 1)}))
 
     if "big" in steps:
         from vkrt_tpu.accel.clusters import build_clusters

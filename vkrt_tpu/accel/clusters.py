@@ -354,7 +354,12 @@ def scene_attrs(flat) -> dict:
         out[k] = jnp.asarray(flat.uvs[idx[:, i]])
     for k, (i,) in {"t0": (0,), "t1": (1,), "t2": (2,)}.items():
         out[k] = jnp.asarray(flat.tangents[idx[:, i], :3])
+    # material SLOT id (packed triple heap, scene/textures.material_slots)
+    # in col 33; the raw metallic-roughness / normal image ids ride along
+    # in 34-35 for debugging — the engine samples via the slot only
+    from vkrt_tpu.scene.textures import material_slots
+    _, tri_slot = material_slots(flat)
     out["mat"] = jnp.asarray(
-        np.stack([flat.tri_base_color, flat.tri_metallic_roughness,
+        np.stack([tri_slot, flat.tri_metallic_roughness,
                   flat.tri_normal], axis=1).astype(np.float32))
     return out

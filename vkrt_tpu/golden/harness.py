@@ -42,10 +42,10 @@ def main(argv=None) -> int:
     from vkrt_tpu.app.camera import Camera
     from vkrt_tpu.app.framebuffer import rmse, write_png
     from vkrt_tpu.golden import render_golden
-    from vkrt_tpu.scene import (build_texture_heap, flatten_model, load_model)
+    from vkrt_tpu.scene import flatten_model, load_model
     from vkrt_tpu.scene.model import Model
-    from vkrt_tpu.wavefront.engine import (TextureArrays, make_backend,
-                                           render_frame)
+    from vkrt_tpu.wavefront.engine import (make_backend, render_frame,
+                                           texture_arrays)
 
     model = load_model(args.scene or DEFAULT_SCENE,
                        max_texture_dim=args.max_texture_dim or 64)
@@ -53,13 +53,9 @@ def main(argv=None) -> int:
         model = Model(submeshes=model.submeshes[: args.submeshes],
                       materials=model.materials, images=model.images)
     flat = flatten_model(model)
-    heap = build_texture_heap(model.images)
-    tex = TextureArrays(
-        texels_quad=jnp.asarray(heap.quad_texels()),
-        level_offset=jnp.asarray(heap.level_offset),
-        level_width=jnp.asarray(heap.level_width),
-        level_height=jnp.asarray(heap.level_height),
-    )
+    tex = texture_arrays(model.images, flat)
+    from vkrt_tpu.scene import build_texture_heap
+    heap = build_texture_heap(model.images)   # oracle-side (independent)
     backend = make_backend(flat, args.backend)
     cam = Camera(cfg.width, cfg.height)
     cam.set_position(C.CAMERA_START_POSITION)

@@ -36,7 +36,7 @@ import numpy as np
 
 from vkrt_tpu import config as C
 from vkrt_tpu.shade import shading
-from vkrt_tpu.shade.sampling import sample_bilinear
+from vkrt_tpu.shade.sampling import sample_material
 from vkrt_tpu.wavefront import engine
 
 CLEAR_COLOR = np.array([0.0, 0.0, 0.2], dtype=np.float32)  # ref: Rasterizer.cpp:119
@@ -77,9 +77,9 @@ def _visibility_sample(backend, tex, proj_inverse, view_inverse,
                                                interpret=interpret)
         hit = hitm & live
         pos, _, uv, _, mat_ids = shading.interpolate(attrs, u, v)
-        texel = sample_bilinear(tex.texels_quad, tex.level_offset,
-                                tex.level_width, tex.level_height,
-                                mat_ids[0], uv)
+        texel, _, _ = sample_material(tex.texels_tri, tex.level_offset,
+                                      tex.level_width, tex.level_height,
+                                      mat_ids[0], uv)
         opaque = hit & (texel[3] >= ALPHA_DISCARD)
         discarded = hit & ~opaque
         color = L.where3(opaque, texel[:3], color)

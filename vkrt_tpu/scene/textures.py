@@ -62,36 +62,123 @@ class TextureHeap:
     def num_images(self) -> int:
         return int(self.level_offset.shape[0])
 
-    def quad_texels(self) -> np.ndarray:
-        """u8[N,16]: for every texel (x,y), its bilinear 2x2 quad
-        [(x,y),(x+1,y),(x,y+1),(x+1,y+1)] with repeat wrap pre-applied.
 
-        One TPU gather fetches a whole bilinear footprint — measured
-        gathers cost ~34ns/row regardless of row width, so this turns 4
-        gathers per sample into 1 at 4x texel memory.
-        """
-        n = self.texels.shape[0]
-        idx = np.empty((n, 4), np.int32)
-        # group real levels by shape → one vectorized pass per distinct size
-        levels = {}
-        for i in range(self.level_offset.shape[0]):
-            for l in range(int(self.num_levels[i])):
-                off = int(self.level_offset[i, l])
-                w = int(self.level_width[i, l])
-                h = int(self.level_height[i, l])
-                levels.setdefault((w, h), []).append(off)
-        for (w, h), offs in levels.items():
-            yy, xx = np.divmod(np.arange(w * h, dtype=np.int32), w)
+def material_slots(flat):
+    """Deterministic (base, metallic-roughness, normal) image-triple slots.
+
+    The engine samples all three maps of a hit's material in ONE gather
+    from the packed material heap; the slot id is the per-triangle
+    material key. Derived only from FlatScene arrays so the heap build
+    and the attribute build (accel/clusters.scene_attrs) agree without
+    plumbing. Returns (triples i32[M,3], tri_slot i32[T])."""
+    tri_triples = np.stack([
+        np.maximum(np.asarray(flat.tri_base_color), 0),
+        np.maximum(np.asarray(flat.tri_metallic_roughness), 0),
+        np.maximum(np.asarray(flat.tri_normal), 0)], axis=1)
+    triples, tri_slot = np.unique(tri_triples, axis=0, return_inverse=True)
+    return triples.astype(np.int32), tri_slot.astype(np.int32)
+
+
+def bilinear_resize(img: np.ndarray, W: int, H: int) -> np.ndarray:
+    """Exact bilinear resize with repeat wrap and texel-center alignment —
+    the same reconstruction the sampler evaluates, so sampling the
+    resized image reproduces the original's continuous bilinear surface
+    up to u8 rounding (used to co-size a material's three maps)."""
+    h, w = img.shape[:2]
+    if (w, h) == (W, H):
+        return img
+    x = (np.arange(W, dtype=np.float64) + 0.5) / W * w - 0.5
+    y = (np.arange(H, dtype=np.float64) + 0.5) / H * h - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx = (x - x0)[None, :, None]
+    fy = (y - y0)[:, None, None]
+    xi, xj = np.mod(x0, w), np.mod(x0 + 1, w)
+    yi, yj = np.mod(y0, h), np.mod(y0 + 1, h)
+    f = img.astype(np.float64)
+    out = (f[yi][:, xi] * (1 - fx) * (1 - fy) + f[yi][:, xj] * fx * (1 - fy)
+           + f[yj][:, xi] * (1 - fx) * fy + f[yj][:, xj] * fx * fy)
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class MaterialHeap:
+    """Per-material-slot packed triple heap: one 48-byte row per texel =
+    the bilinear 2x2 quads of base color, metallic-roughness and normal
+    map (wrap pre-applied). One gather fetches the full footprint of all
+    three maps — the three per-map gathers were ~2/3 of frame sampling
+    cost (measured round 2). Maps of one slot are co-sized to the max of
+    the three level-0 dims via `bilinear_resize`; resampling a resized
+    map deviates from the original's bilinear reconstruction near the
+    original texel grid (kink misalignment) EXCEPT for constant content,
+    where it is exact — the only mismatched-size map in Sponza is a
+    solid-color 4x4 fallback (material 2), so Sponza parity is exact."""
+    texels_tri: np.ndarray    # u8[N,48]
+    level_offset: np.ndarray  # i32[M,L]
+    level_width: np.ndarray   # i32[M,L]
+    level_height: np.ndarray  # i32[M,L]
+    num_levels: np.ndarray    # i32[M]
+
+
+def build_material_heap(images: List[Image], triples: np.ndarray) -> MaterialHeap:
+    if not images:
+        images = [Image(width=1, height=1,
+                        data=np.full((1, 1, 4), 255, dtype=np.uint8))]
+    M = triples.shape[0]
+    slot_chains = []
+    for m in range(M):
+        imgs = [images[min(max(int(t), 0), len(images) - 1)].data
+                for t in triples[m]]
+        W = max(im.shape[1] for im in imgs)
+        H = max(im.shape[0] for im in imgs)
+        chains = [build_mip_chain(bilinear_resize(im, W, H)) for im in imgs]
+        slot_chains.append(chains)
+
+    max_levels = max(len(c[0]) for c in slot_chains)
+    level_offset = np.zeros((M, max_levels), dtype=np.int32)
+    level_width = np.ones((M, max_levels), dtype=np.int32)
+    level_height = np.ones((M, max_levels), dtype=np.int32)
+    num_levels = np.zeros(M, dtype=np.int32)
+
+    pattern_cache = {}
+
+    def quad_pattern(w, h):
+        if (w, h) not in pattern_cache:
+            yy, xx = np.divmod(np.arange(w * h, dtype=np.int64), w)
             x1 = np.where(xx + 1 == w, 0, xx + 1)
             y1 = np.where(yy + 1 == h, 0, yy + 1)
-            pat = np.stack([yy * w + xx, yy * w + x1,
-                            y1 * w + xx, y1 * w + x1], axis=1)   # [w*h,4]
-            offs_arr = np.asarray(offs, np.int32)[:, None, None]
-            block = (offs_arr + pat[None]).reshape(-1, 4)
-            dst = (offs_arr[:, 0, 0][:, None]
-                   + np.arange(w * h, dtype=np.int32)[None]).reshape(-1)
-            idx[dst] = block
-        return self.texels[idx].reshape(n, 16)
+            pattern_cache[(w, h)] = np.stack(
+                [yy * w + xx, yy * w + x1, y1 * w + xx, y1 * w + x1], axis=1)
+        return pattern_cache[(w, h)]
+
+    parts = []
+    offset = 0
+    for m, chains in enumerate(slot_chains):
+        L = len(chains[0])
+        num_levels[m] = L
+        for l in range(L):
+            h, w = chains[0][l].shape[:2]
+            level_offset[m, l] = offset
+            level_width[m, l] = w
+            level_height[m, l] = h
+            pat = quad_pattern(w, h)
+            row = np.concatenate(
+                [c[l].reshape(-1, 4)[pat].reshape(-1, 16) for c in chains],
+                axis=1)                                    # [w*h, 48]
+            parts.append(row)
+            offset += h * w
+        for l in range(L, max_levels):
+            level_offset[m, l] = level_offset[m, L - 1]
+            level_width[m, l] = level_width[m, L - 1]
+            level_height[m, l] = level_height[m, L - 1]
+
+    return MaterialHeap(
+        texels_tri=np.concatenate(parts, axis=0),
+        level_offset=level_offset,
+        level_width=level_width,
+        level_height=level_height,
+        num_levels=num_levels,
+    )
 
 
 def build_texture_heap(images: List[Image]) -> TextureHeap:

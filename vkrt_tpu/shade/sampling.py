@@ -7,7 +7,7 @@ mip; `lod` is exposed for completeness (mip chains are built by
 scene/textures.py, matching the blit loop at src/Raytracer.cpp:572-640).
 
 TPU-shaped storage: the heap stores, for every texel, its full bilinear
-2x2 quad with repeat wrap pre-applied (scene/textures.py quad_texels), so
+2x2 quads with repeat wrap pre-applied (scene/textures.py), so
 one gather per sample fetches the whole footprint — measured TPU gather
 cost is per-row (~34ns) regardless of row width, making this 4x cheaper
 than 4 single-texel gathers at 4x memory.
@@ -20,11 +20,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def sample_bilinear(texels_quad, level_offset, level_width, level_height,
-                    tex_ids, uv, lod: int = 0):
-    off = level_offset[tex_ids, lod]         # [Nb,128] gathers (small table)
-    w = level_width[tex_ids, lod]
-    h = level_height[tex_ids, lod]
+def sample_material(texels_tri, level_offset, level_width, level_height,
+                    slot_ids, uv, lod: int = 0):
+    """One gather per ray fetches the bilinear footprints of ALL THREE of
+    a material's maps (base color, metallic-roughness, normal) from the
+    packed 48-byte material heap (scene/textures.py build_material_heap).
+    TPU gather cost is per-ROW, so this is 3x cheaper than per-map
+    sampling; the three maps of a slot are co-sized, so index/weight
+    math is computed once. Returns (base, mr, normal) each [4,Nb,128]."""
+    off = level_offset[slot_ids, lod]
+    w = level_width[slot_ids, lod]
+    h = level_height[slot_ids, lod]
 
     x = uv[0] * w - 0.5
     y = uv[1] * h - 0.5
@@ -35,11 +41,18 @@ def sample_bilinear(texels_quad, level_offset, level_width, level_height,
 
     xi = jnp.mod(x0, w)
     yi = jnp.mod(y0, h)
-    quad = texels_quad[off + yi * w + xi]    # [Nb,128,16] u8
-    q = quad.astype(jnp.float32) / 255.0
-    c00, c10, c01, c11 = q[..., 0:4], q[..., 4:8], q[..., 8:12], q[..., 12:16]
-    rgba = (c00 * ((1 - fx) * (1 - fy))[..., None]
-            + c10 * (fx * (1 - fy))[..., None]
-            + c01 * ((1 - fx) * fy)[..., None]
-            + c11 * (fx * fy)[..., None])    # [Nb,128,4]
-    return jnp.moveaxis(rgba, -1, 0)         # [4,Nb,128]
+    rows = texels_tri[off + yi * w + xi]     # [Nb,128,48] u8 — ONE gather
+    q = rows.astype(jnp.float32) / 255.0
+    w00 = ((1 - fx) * (1 - fy))[..., None]
+    w10 = (fx * (1 - fy))[..., None]
+    w01 = ((1 - fx) * fy)[..., None]
+    w11 = (fx * fy)[..., None]
+
+    def lerp(base):
+        rgba = (q[..., base + 0:base + 4] * w00
+                + q[..., base + 4:base + 8] * w10
+                + q[..., base + 8:base + 12] * w01
+                + q[..., base + 12:base + 16] * w11)
+        return jnp.moveaxis(rgba, -1, 0)     # [4,Nb,128]
+
+    return lerp(0), lerp(16), lerp(32)

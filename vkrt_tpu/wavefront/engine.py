@@ -39,7 +39,7 @@ import numpy as np
 
 from vkrt_tpu import config as C
 from vkrt_tpu.shade import shading
-from vkrt_tpu.shade.sampling import sample_bilinear
+from vkrt_tpu.shade.sampling import sample_material
 from vkrt_tpu.utils import layout as L
 
 FAR_SENTINEL = 1.0e7
@@ -47,10 +47,29 @@ TILE_Y, TILE_X = 16, 32           # 512 pixels = one dense-kernel block
 
 
 class TextureArrays(NamedTuple):
-    texels_quad: jax.Array   # u8[N,16] — per-texel bilinear quads
-    level_offset: jax.Array  # i32[I,L]
-    level_width: jax.Array   # i32[I,L]
-    level_height: jax.Array  # i32[I,L]
+    """Packed per-material-slot triple heap (scene/textures.py
+    build_material_heap): one 48-byte row per texel holds the bilinear
+    quads of base/metallic-roughness/normal — one gather per hit fetches
+    all three maps' footprints."""
+    texels_tri: jax.Array    # u8[N,48]
+    level_offset: jax.Array  # i32[M,L]
+    level_width: jax.Array   # i32[M,L]
+    level_height: jax.Array  # i32[M,L]
+
+
+def texture_arrays(images, flat) -> TextureArrays:
+    """Build device TextureArrays from model images + a FlatScene (the
+    material-slot mapping is derived from the FlatScene so it agrees
+    with accel/clusters.scene_attrs by construction)."""
+    from vkrt_tpu.scene.textures import build_material_heap, material_slots
+
+    triples, _ = material_slots(flat)
+    heap = build_material_heap(images, triples)
+    return TextureArrays(
+        texels_tri=jnp.asarray(heap.texels_tri),
+        level_offset=jnp.asarray(heap.level_offset),
+        level_width=jnp.asarray(heap.level_width),
+        level_height=jnp.asarray(heap.level_height))
 
 
 def generate_rays(proj_inverse, view_inverse, width: int, height: int,
@@ -220,21 +239,21 @@ def wavefront_rounds(backend, tex: TextureArrays, origins, dirs, lights,
         accum = accum + jnp.where(miss[None], sky[:, None, None], 0.0)
 
         pos, normal, uv, tangent, mat_ids = shading.interpolate(attrs, u, v)
-        base = sample_bilinear(tex.texels_quad, tex.level_offset,
-                               tex.level_width, tex.level_height,
-                               mat_ids[0], uv)[:3]
+        # ONE gather fetches base + metallic-roughness + normal-map quads
+        # (packed material heap; the three per-map gathers were ~2/3 of
+        # frame sampling cost — measured round 2)
+        base4, mr4, nmap4 = sample_material(
+            tex.texels_tri, tex.level_offset, tex.level_width,
+            tex.level_height, mat_ids[0], uv)
+        base = base4[:3]
 
         if cfg.flat_albedo:
             accum = accum + jnp.where(hit[None], base, 0.0)
             active = jnp.zeros_like(active)
             break
 
-        map_n = sample_bilinear(tex.texels_quad, tex.level_offset,
-                                tex.level_width, tex.level_height,
-                                mat_ids[2], uv)[:3]
-        metallic = sample_bilinear(tex.texels_quad, tex.level_offset,
-                                   tex.level_width, tex.level_height,
-                                   mat_ids[1], uv)[2]
+        map_n = nmap4[:3]
+        metallic = mr4[2]
         pn = shading.perturbed_normal(normal, tangent, map_n)
 
         total_light = jnp.zeros(shape, jnp.float32)
@@ -307,17 +326,10 @@ def load_scene_assets(model_path: str, max_texture_dim: int = 0):
     """(FlatScene, TextureArrays) — cached per (path, texture dim)."""
     key = (model_path, max_texture_dim)
     if key not in _SCENE_CACHE:
-        from vkrt_tpu.scene import (build_texture_heap, flatten_model,
-                                    load_model)
+        from vkrt_tpu.scene import flatten_model, load_model
         model = load_model(model_path, max_texture_dim=max_texture_dim)
         flat = flatten_model(model)
-        heap = build_texture_heap(model.images)
-        tex = TextureArrays(
-            texels_quad=jnp.asarray(heap.quad_texels()),
-            level_offset=jnp.asarray(heap.level_offset),
-            level_width=jnp.asarray(heap.level_width),
-            level_height=jnp.asarray(heap.level_height),
-        )
+        tex = texture_arrays(model.images, flat)
         _SCENE_CACHE[key] = (flat, tex, {})
     return _SCENE_CACHE[key]
 
