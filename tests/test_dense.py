@@ -160,3 +160,38 @@ def test_dense_block512_subgroups_match_brute(scene):
                                  occlusion=True, interpret=True)
     bocc = brute_occluded(o, d, 0.001, tmax * 0.02, v0, e1, e2)
     np.testing.assert_array_equal(np.asarray(oslot) >= 0, bocc)
+
+
+def test_point_origin_matches_broadcast(scene):
+    """point_origin=True (one shared origin per 512-ray block — the
+    primary/shadow fast path) must match the broadcast path exactly,
+    including parked (tmax=0) rays."""
+    from vkrt_tpu.rt.dense import trace_dense as trace_lane
+    from vkrt_tpu.utils import layout as L
+
+    v0, e1, e2, tree = scene
+    rng = np.random.default_rng(13)
+    pts = np.array([[-7.0, 1.0, 2.0], [6.0, -2.0, 1.0]], np.float32)
+    N = 1024                       # 2 blocks of 512
+    o_full = np.repeat(pts, 512, axis=0)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = np.full(N, 1e3, np.float32)
+    tmax[::7] = 0.0                # parked rays
+    ob = L.to_cvec(jnp.asarray(o_full))
+    db = L.to_cvec(jnp.asarray(d))
+    tm = L.to_lanes(jnp.asarray(tmax))
+
+    ref = trace_lane(tree, ob, db, tm, with_attributes=True, interpret=True)
+    got = trace_lane(tree, jnp.asarray(pts), db, tm, with_attributes=True,
+                     interpret=True, point_origin=True)
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    np.testing.assert_allclose(np.asarray(ref[4]), np.asarray(got[4]),
+                               rtol=1e-6)
+
+    orf = trace_lane(tree, ob, db, tm, occlusion=True, interpret=True)
+    ogt = trace_lane(tree, jnp.asarray(pts), db, tm, occlusion=True,
+                     interpret=True, point_origin=True)
+    np.testing.assert_array_equal(np.asarray(orf[1]), np.asarray(ogt[1]))

@@ -10,6 +10,7 @@ Steps (default: check closest attrs occl stats):
   big      >64-supercluster scene built on device, traced + spot-checked
 """
 
+import functools
 import json
 import os
 import sys
@@ -149,6 +150,26 @@ def main():
         print(json.dumps({"step": "sample3maps_2M",
                           "ms": round(dt * 1e3, 1)}))
 
+    if "recip" in steps:
+        # approx reciprocal + 1 Newton vs full divide in the closest sweep
+        from vkrt_tpu.golden.cpu_tracer import closest_hit as brute
+        dt = bench(lambda: trace_dense(tree, oj, dj, tmax,
+                                       with_attributes=True,
+                                       approx_recip=False))
+        dr = bench(lambda: trace_dense(tree, oj, dj, tmax,
+                                       with_attributes=True,
+                                       approx_recip=True))
+        # correctness: same winning slots on a real-ray block
+        _, s0, _, _ = trace_dense(tree, oj[:, :64], dj[:, :64], tmax[:64],
+                                  approx_recip=False)
+        _, s1, _, _ = trace_dense(tree, oj[:, :64], dj[:, :64], tmax[:64],
+                                  approx_recip=True)
+        agree = float((np.asarray(s0) == np.asarray(s1)).mean())
+        print(json.dumps({"step": "recip",
+                          "mrays_div": round(n / dt / 1e6, 2),
+                          "mrays_approx": round(n / dr / 1e6, 2),
+                          "slot_agree": agree}))
+
     if "phases" in steps:
         # differential frame timing at 1080p: full vs feature-ablated
         # configs isolate where the e2e milliseconds go
@@ -207,7 +228,6 @@ def main():
 
     if "glue" in steps:
         # 1080p: time the frame's pieces separately to expose XLA glue
-        import functools
 
         from vkrt_tpu.wavefront.engine import camera_ray_blocks
         cam = Camera(1920, 1080)
@@ -217,26 +237,41 @@ def main():
         pi, vi = jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse)
 
         rays_fn = jax.jit(functools.partial(camera_ray_blocks, cfg=cfg))
-        o1, d1 = rays_fn(pi, vi)
-        o1.block_until_ready()
+        op1, d1, val1 = rays_fn(pi, vi)
+        d1.block_until_ready()
         t0 = time.perf_counter()
         for _ in range(5):
-            o1, d1 = rays_fn(pi, vi)
-        o1.block_until_ready()
+            op1, d1, val1 = rays_fn(pi, vi)
+        d1.block_until_ready()
         print(json.dumps({"step": "glue:raygen_tile",
                           "ms": round((time.perf_counter() - t0) / 5 * 1e3, 1)}))
 
-        tm1 = jnp.full(o1.shape[1:], C.RAY_TMAX, jnp.float32)
+        from vkrt_tpu.wavefront.engine import _broadcast_points
+        nbl1 = d1.shape[1] * 128 // 512
+        opts1 = jnp.broadcast_to(op1[None, :], (nbl1, 3))
+        o1 = _broadcast_points(opts1, d1)
+        tm1 = jnp.where(val1, C.RAY_TMAX, 0.0)
         dt = bench(lambda: trace_dense(tree, o1, d1, tm1,
                                        with_attributes=True))
-        n1 = o1.shape[1] * 128
+        n1 = d1.shape[1] * 128
         print(json.dumps({"step": "glue:trace1080",
                           "mrays": round(n1 / dt / 1e6, 2),
                           "ms": round(dt * 1e3, 1)}))
+        dtp = bench(lambda: trace_dense(tree, opts1, d1, tm1,
+                                        with_attributes=True,
+                                        point_origin=True))
+        print(json.dumps({"step": "glue:trace1080_point",
+                          "mrays": round(n1 / dtp / 1e6, 2),
+                          "ms": round(dtp * 1e3, 1)}))
         dto = bench(lambda: trace_dense(tree, o1, d1, tm1, occlusion=True))
         print(json.dumps({"step": "glue:occl1080",
                           "mrays": round(n1 / dto / 1e6, 2),
                           "ms": round(dto * 1e3, 1)}))
+        dtop = bench(lambda: trace_dense(tree, opts1, d1, tm1,
+                                         occlusion=True, point_origin=True))
+        print(json.dumps({"step": "glue:occl1080_point",
+                          "mrays": round(n1 / dtop / 1e6, 2),
+                          "ms": round(dtop * 1e3, 1)}))
 
         # prologue alone: the per-trace sc_order argsort
         @jax.jit
@@ -259,7 +294,6 @@ def main():
 
     if "glue2" in steps:
         # bisect the flat-albedo frame: engine pieces added one at a time
-        import functools
 
         from vkrt_tpu.shade import shading
         from vkrt_tpu.shade.sampling import sample_material
@@ -274,10 +308,12 @@ def main():
         pi, vi = jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse)
 
         def stage_a(pi, vi, tex2):           # raygen+trace+interp+sample+acc
-            o, d = camera_ray_blocks(pi, vi, cfg=cfg)
-            tmax = jnp.where(o[0] != 1.0e7, C.RAY_TMAX, 0.0)
-            t, slot, u, v, attrs = trace_dense(tree, o, d, tmax,
-                                               with_attributes=True)
+            op, d, val = camera_ray_blocks(pi, vi, cfg=cfg)
+            tmax = jnp.where(val, C.RAY_TMAX, 0.0)
+            opts = jnp.broadcast_to(op[None, :], (d.shape[1] * 128 // 512, 3))
+            t, slot, u, v, attrs = trace_dense(tree, opts, d, tmax,
+                                               with_attributes=True,
+                                               point_origin=True)
             hit = slot >= 0
             pos, normal, uv, tangent, mat_ids = shading.interpolate(
                 attrs, u, v)
@@ -309,6 +345,173 @@ def main():
                 best = min(best, (time.perf_counter() - t0) / 3)
             print(json.dumps({"step": f"glue2:{name}",
                               "ms": round(best * 1e3, 1)}))
+
+    if "budget" in steps:
+        # True per-phase budget of the config-4 frame at 1080p: each
+        # phase is jitted separately and fed the REAL intermediate state
+        # (depth-1 hits, real reflection rays), texdim 512 (bench default)
+        from vkrt_tpu.shade import shading
+        from vkrt_tpu.shade.sampling import sample_material
+        from vkrt_tpu.utils import layout as L2
+        from vkrt_tpu.wavefront.engine import (camera_ray_blocks, untile,
+                                               _pad_dims)
+        _, tex5, _ = load_scene_assets(SCENE, 512)
+        cam = Camera(1920, 1080)
+        cam.set_position(C.CAMERA_START_POSITION)
+        cam.set_rotation(C.CAMERA_START_ROTATION)
+        cfg = C.config4_flythrough()
+        pi, vi = jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse)
+        lights = jnp.asarray(C.LIGHT_POSITIONS)[:cfg.num_lights]
+        nl = cfg.num_lights
+
+        from vkrt_tpu.wavefront.engine import _broadcast_points
+        op, d, active0 = jax.jit(
+            functools.partial(camera_ray_blocks, cfg=cfg))(pi, vi)
+        opts = jnp.broadcast_to(op[None, :], (d.shape[1] * 128 // 512, 3))
+        o = _broadcast_points(opts, d)
+
+        def tmr(name, jf, *args):
+            r = jf(*args)
+            jax.block_until_ready(r)
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    r = jf(*args)
+                jax.block_until_ready(r)
+                best = min(best, (time.perf_counter() - t0) / 3)
+            print(json.dumps({"step": f"budget:{name}",
+                              "ms": round(best * 1e3, 1)}), flush=True)
+            return r
+
+        # tree/tex5 MUST be jit ARGUMENTS: a closure embeds them as
+        # constants in the remote-compile request (420MB heap -> HTTP 413)
+        def closest(tree, o, d, act):
+            tm = jnp.where(act, C.RAY_TMAX, 0.0)
+            return trace_dense(tree, o, d, tm, with_attributes=True)
+
+        def closest_pt(tree, opts, d, act):
+            tm = jnp.where(act, C.RAY_TMAX, 0.0)
+            return trace_dense(tree, opts, d, tm, with_attributes=True,
+                               point_origin=True)
+
+        closest_j = jax.jit(closest)
+        closest_pt_j = jax.jit(closest_pt)
+        tmr("closest_d0_point", closest_pt_j, tree, opts, d, active0)
+        t, slot, u, v, attrs = tmr("closest_d0", closest_j, tree, o, d,
+                                   active0)
+        hit = (slot >= 0) & active0
+
+        def interp_sample(tex5, attrs, u, v, hit):
+            pos, normal, uv, tangent, mat_ids = shading.interpolate(attrs, u, v)
+            sid = jnp.where(hit, mat_ids[0], 0)
+            uvs = jnp.where(hit[None], uv, 0.0)
+            return sample_material(tex5.texels_tri, tex5.level_offset,
+                                   tex5.level_width, tex5.level_height,
+                                   sid, uvs)
+
+        interp_sample_j = jax.jit(interp_sample)
+        tmr("interp_sample_d0", interp_sample_j, tex5, attrs, u, v, hit)
+
+        def shadows(tree, attrs, u, v, hit):
+            pos, normal, uv, tangent, mat_ids = shading.interpolate(attrs, u, v)
+            pn = shading.perturbed_normal(
+                normal, tangent, jnp.zeros_like(normal) + 0.5)
+            geo = [shading.light_geometry(pos, lights[li]) for li in range(nl)]
+            casts = [hit & (L2.dot3(pn, g[0]) > 0) for g in geo]
+            so = jnp.concatenate(
+                [jnp.broadcast_to(lights[li][:, None, None], pos.shape)
+                 for li in range(nl)], axis=1)
+            sd = jnp.concatenate([-g[0] for g in geo], axis=1)
+            st = jnp.concatenate([jnp.where(c, g[1] - C.RAY_TMIN, 0.0)
+                                  for c, g in zip(casts, geo)], axis=0)
+            return trace_dense(tree, so, sd, st, occlusion=True)
+
+        def shadows_pt(tree, attrs, u, v, hit):
+            pos, normal, uv, tangent, mat_ids = shading.interpolate(attrs, u, v)
+            pn = shading.perturbed_normal(
+                normal, tangent, jnp.zeros_like(normal) + 0.5)
+            geo = [shading.light_geometry(pos, lights[li]) for li in range(nl)]
+            casts = [hit & (L2.dot3(pn, g[0]) > 0) for g in geo]
+            nbl = pos.shape[1] * 128 // 512
+            so_pts = jnp.concatenate(
+                [jnp.broadcast_to(lights[li][None, :], (nbl, 3))
+                 for li in range(nl)], axis=0)
+            sd = jnp.concatenate([-g[0] for g in geo], axis=1)
+            st = jnp.concatenate([jnp.where(c, g[1] - C.RAY_TMIN, 0.0)
+                                  for c, g in zip(casts, geo)], axis=0)
+            return trace_dense(tree, so_pts, sd, st, occlusion=True,
+                               point_origin=True)
+
+        shadows_j = jax.jit(shadows)
+        shadows_pt_j = jax.jit(shadows_pt)
+        tmr("shadows_d0_point", shadows_pt_j, tree, attrs, u, v, hit)
+        tmr("shadows_d0", shadows_j, tree, attrs, u, v, hit)
+
+        # real depth-2 state
+        def refl_state(tex5, attrs, u, v, hit, o, d):
+            pos, normal, uv, tangent, mat_ids = shading.interpolate(attrs, u, v)
+            _, mr4, nmap4 = sample_material(tex5.texels_tri, tex5.level_offset,
+                                            tex5.level_width, tex5.level_height,
+                                            jnp.where(hit, mat_ids[0], 0),
+                                            jnp.where(hit[None], uv, 0.0))
+            pn = shading.perturbed_normal(normal, tangent, nmap4[:3])
+            reflective = hit & (mr4[2] > C.METALLIC_THRESHOLD)
+            o2 = L2.where3(reflective, pos, o)
+            d2 = L2.where3(reflective, shading.reflect(d, pn), d)
+            return o2, d2, reflective
+
+        o2, d2, refl = jax.jit(refl_state)(tex5, attrs, u, v, hit, o, d)
+        print(json.dumps({"step": "budget:live_d1",
+                          "frac": round(float(jnp.mean(
+                              refl.astype(jnp.float32))), 4)}), flush=True)
+        t2 = tmr("closest_d1", closest_j, tree, o2, d2, refl)
+        hit2 = (t2[1] >= 0) & refl
+        tmr("interp_sample_d1", interp_sample_j, tex5, t2[4], t2[2], t2[3],
+            hit2)
+        tmr("shadows_d1_point", shadows_pt_j, tree, t2[4], t2[2], t2[3], hit2)
+
+    if "sparse" in steps:
+        # cost of a mostly-dead wavefront (depth-2 reality: ~9% live):
+        # scattered live rays vs the same rays packed group-contiguously.
+        # Quantifies the win of group-level compaction before depth>=1
+        # dispatches.
+        cam = Camera(1920, 1080)
+        cam.set_position(C.CAMERA_START_POSITION)
+        cam.set_rotation(C.CAMERA_START_ROTATION)
+        from vkrt_tpu.wavefront.engine import (camera_ray_blocks,
+                                               _broadcast_points)
+        op1, d1, _v1 = jax.jit(lambda pi, vi: camera_ray_blocks(
+            pi, vi, cfg=C.config4_flythrough()))(
+                jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse))
+        o1 = _broadcast_points(
+            jnp.broadcast_to(op1[None, :], (d1.shape[1] * 128 // 512, 3)), d1)
+        nb1 = o1.shape[1]
+        n1 = nb1 * 128
+        rng = np.random.default_rng(11)
+        for frac in (0.10, 0.25, 0.60):
+            live = jnp.asarray(rng.random((nb1, 128)) < frac)
+            tm_sc = jnp.where(live, C.RAY_TMAX, 0.0)       # scattered
+            # packed: group-granular — groups sorted by live count
+            glive = np.asarray(live).sum(axis=1)
+            order = np.argsort(-glive, kind="stable").astype(np.int32)
+            op = o1[:, order]
+            dp = d1[:, order]
+            tm_pk = tm_sc[order]
+            dt_sc = bench(lambda: trace_dense(tree, o1, d1, tm_sc,
+                                              with_attributes=True))
+            dt_pk = bench(lambda: trace_dense(tree, op, dp, tm_pk,
+                                              with_attributes=True))
+            do_sc = bench(lambda: trace_dense(tree, o1, d1, tm_sc,
+                                              occlusion=True))
+            do_pk = bench(lambda: trace_dense(tree, op, dp, tm_pk,
+                                              occlusion=True))
+            print(json.dumps({
+                "step": f"sparse{int(frac*100)}",
+                "closest_scattered_ms": round(dt_sc * 1e3, 1),
+                "closest_packed_ms": round(dt_pk * 1e3, 1),
+                "occl_scattered_ms": round(do_sc * 1e3, 1),
+                "occl_packed_ms": round(do_pk * 1e3, 1)}))
 
     if "big" in steps:
         from vkrt_tpu.accel.clusters import build_clusters

@@ -57,25 +57,25 @@ def render_frame_sharded(backend, tex, proj_inverse, view_inverse, lights,
     axis = mesh.axis_names[0]
     wp, hp = engine._pad_dims(cfg.width, cfg.height)
 
-    origins, dirs = engine.camera_ray_blocks(proj_inverse, view_inverse, cfg)
-    nb = origins.shape[1]
+    origin_pt, dirs, valid = engine.camera_ray_blocks(proj_inverse,
+                                                      view_inverse, cfg)
+    nb = dirs.shape[1]
     # pad so each device gets a whole number of 512-ray trace blocks
     per_dev = -(-nb // (n_dev * 4)) * 4            # 4 groups of 128 = 512
     pad = per_dev * n_dev - nb
-    origins = jnp.pad(origins, ((0, 0), (0, pad), (0, 0)),
-                      constant_values=engine.FAR_SENTINEL)
     dirs = jnp.pad(dirs, ((0, 0), (0, pad), (0, 0)), constant_values=1.0)
     dirs = engine.L.normalize3(dirs)
+    valid = jnp.pad(valid, ((0, pad), (0, 0)), constant_values=False)
 
     rounds = functools.partial(engine.wavefront_rounds, cfg=cfg,
                                interpret=interpret)
     fn = _shard_map(
-        lambda be, tx, o, d, li: rounds(be, tx, o, d, li),
+        lambda be, tx, op, d, li, va: rounds(be, tx, op, d, li, valid=va),
         mesh,
-        in_specs=(P(), P(), P(None, axis, None), P(None, axis, None), P()),
+        in_specs=(P(), P(), P(), P(None, axis, None), P(), P(axis, None)),
         out_specs=(P(None, axis, None), P(axis, None)),
     )
-    accum, ray_count = fn(backend, tex, origins, dirs, lights)
+    accum, ray_count = fn(backend, tex, origin_pt, dirs, lights, valid)
     accum = accum[:, :nb]
     fb = jnp.stack([engine.untile(accum[k], hp, wp)[: cfg.height, : cfg.width]
                     for k in range(3)], axis=-1)

@@ -75,11 +75,19 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                   tris, sem, gated, tlb, started, nlist,
                   counters, sc_mask, btmax, t_s, slot_s, u_s, v_s, attr_s,
                   *, n_sc: int, occlusion: bool, with_attributes: bool,
-                  stats: bool):
-    R = o_ref.shape[-1]           # rays per block, on lanes
+                  stats: bool, point_origin: bool, approx_recip: bool):
+    R = d_ref.shape[-1]           # rays per block, on lanes
     NBUF = sem.shape[0]           # per-cluster DMA pipeline depth
 
-    ox, oy, oz = o_ref[0, 0], o_ref[1, 0], o_ref[2, 0]       # [1,R]
+    if point_origin:
+        # the whole block shares ONE origin point (primary rays: the
+        # camera; shadow rays: the light) — scalars from SMEM. Everything
+        # mixing origin with per-TRIANGLE constants then stays [K1,1]
+        # instead of [K1,R] (s, q = s x e1, tp = e2·q): ~27% fewer sweep
+        # VPU ops, measured round 2
+        ox, oy, oz = o_ref[0, 0, 0], o_ref[0, 0, 1], o_ref[0, 0, 2]
+    else:
+        ox, oy, oz = o_ref[0, 0], o_ref[1, 0], o_ref[2, 0]   # [1,R]
     dx, dy, dz = d_ref[0, 0], d_ref[1, 0], d_ref[2, 0]
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     tmax = tmax_ref[0]                                        # [1,R]
@@ -159,8 +167,15 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                 btmax[0] = jnp.max(t_s[:])
             return
 
-        inv_det = jnp.where(adet > _DET_EPS,
-                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+        safe_det = jnp.where(det == 0, 1.0, det)
+        if approx_recip:
+            # VPU fast reciprocal + 1 Newton step: rel err ~(2^-12)^2 —
+            # below f32 roundoff of the subsequent multiplies
+            r0 = pl.reciprocal(safe_det, approx=True)
+            rec = r0 * (2.0 - safe_det * r0)
+        else:
+            rec = 1.0 / safe_det
+        inv_det = jnp.where(adet > _DET_EPS, rec, 0.0)
         uu = up * inv_det
         vv = vp * inv_det
         tt = tp * inv_det
@@ -352,11 +367,13 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
 
 @functools.partial(jax.jit, static_argnames=("block", "occlusion",
                                              "with_attributes", "interpret",
-                                             "stats"))
+                                             "stats", "point_origin",
+                                             "approx_recip"))
 def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                 block: int = 512, occlusion: bool = False,
                 with_attributes: bool = False, interpret: bool = False,
-                stats: bool = False):
+                stats: bool = False, point_origin: bool = False,
+                approx_recip: bool = True):
     """Trace rays against the cluster tree (lane-major I/O).
 
     origins/dirs: f32[3, Nb, 128]; tmax: f32[Nb, 128]. N = Nb*128 must be
@@ -364,8 +381,20 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     coherent blocks). Returns (t, slot, u, v[, attrs f32[36, Nb, 128]])
     all [Nb, 128]; slot = -1 on miss (occlusion mode: >=0 means blocked),
     else an index into leaf order (tree.leaf_tri maps to triangle ids).
+
+    approx_recip (default True, hardware only — interpret mode always
+    uses exact division): the closest sweep's 1/det uses the VPU fast
+    reciprocal + one Newton step (rel err ~2^-24, below the f32 roundoff
+    of the barycentric multiplies); measured +2.9% with bit-identical
+    hit selection on Sponza camera rays (tools/kernel_bench.py recip).
+
+    point_origin=True: all rays of a 512-ray block share ONE origin
+    (primary rays: the camera; shadow rays traced from the light); then
+    `origins` is f32[N/block, 3] — one point per block, consumed as SMEM
+    scalars. Origin-x-triangle terms drop from [K1,R] to [K1,1] in the
+    sweep (~27% fewer VPU ops).
     """
-    nb = origins.shape[1]
+    nb = dirs.shape[1]
     N = nb * LANES
     assert N % block == 0, f"ray count {N} not a multiple of block {block}"
     n_sc = tree.num_superclusters
@@ -377,7 +406,11 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     # Per-block front-to-back supercluster visit order: entry distance of
     # each supercluster box along the block's mean ray. Cheap XLA prologue
     # that unlocks early termination inside the kernel.
-    ob = origins.reshape(3, nblocks, block).mean(axis=2)     # [3,nb]
+    if point_origin:
+        assert origins.shape == (nblocks, 3), origins.shape
+        ob = origins.T                                       # [3,nb]
+    else:
+        ob = origins.reshape(3, nblocks, block).mean(axis=2)
     db = dirs.reshape(3, nblocks, block).mean(axis=2)
     db_n = jnp.sqrt(jnp.maximum(db[0] ** 2 + db[1] ** 2 + db[2] ** 2, 1e-24))
     db = db / db_n[None]
@@ -402,13 +435,24 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     sc_order = sc_order.reshape(nblocks, 1, order_w)  # SMEM block-shape rule
 
     kernel = functools.partial(_trace_kernel, n_sc=n_sc, occlusion=occlusion,
-                               with_attributes=with_attributes, stats=stats)
+                               with_attributes=with_attributes, stats=stats,
+                               point_origin=point_origin,
+                               approx_recip=approx_recip and not interpret)
     grid = (nblocks,)
     attr_rows = 36 if with_attributes else 1
     # Ray I/O rides as [·, nblocks, 1, block] — a free reshape of the
     # engine's [Nb, 128] lane-major layout, consumed by the kernel as
     # [1, block] rows directly (no in-kernel transposes).
-    o_k = origins.reshape(3, nblocks, 1, block)
+    if point_origin:
+        # [nblocks, 1, 3] + block (1,1,3): the SMEM block-shape rule wants
+        # the last two dims equal to the array dims
+        o_k = origins.reshape(nblocks, 1, 3)
+        o_spec = pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0),
+                              memory_space=pltpu.SMEM)
+    else:
+        o_k = origins.reshape(3, nblocks, 1, block)
+        o_spec = pl.BlockSpec((3, 1, 1, block), lambda i: (0, i, 0, 0),
+                              memory_space=pltpu.VMEM)
     d_k = dirs.reshape(3, nblocks, 1, block)
     tmax_k = tmax.reshape(nblocks, 1, block)
     out_shape = [
@@ -432,7 +476,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
         pl.BlockSpec((1, 1, order_w), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((8, c2p), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_sc, 8, K2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, 1, 1, block), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        o_spec,
         pl.BlockSpec((3, 1, 1, block), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),        # tri_data stays in HBM

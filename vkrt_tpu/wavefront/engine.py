@@ -122,6 +122,17 @@ def _pad_grid(g, wp, hp, value):
 # Trace backends (lane-major I/O: o/d [3,Nb,128], tmax [Nb,128])
 # ---------------------------------------------------------------------------
 
+BLOCK = 512                       # rays per dense-kernel block (= TILE_Y*TILE_X)
+
+
+def _broadcast_points(o_pts, d):
+    """[NB,3] per-block origin points → full [3,Nb,128] origins (for
+    backends without a native point-origin path)."""
+    rows = BLOCK // L.LANES
+    o = jnp.repeat(o_pts, rows, axis=0).T[:, :, None]      # [3, Nb, 1]
+    return jnp.broadcast_to(o, d.shape)
+
+
 class DenseBackend(NamedTuple):
     """Pallas cluster kernel; attributes selected inside the trace."""
     tree: object  # ClusterTree
@@ -136,6 +147,18 @@ class DenseBackend(NamedTuple):
         from vkrt_tpu.rt.dense import trace_dense
         _, slot, _, _ = trace_dense(self.tree, o, d, tmax, occlusion=True,
                                     interpret=interpret)
+        return slot >= 0
+
+    # point-origin occlusion: all rays of a 512-ray block share one origin
+    # (shadow rays traced from the light) — o_pts is [NB, 3], consumed as
+    # SMEM scalars by the kernel, so the [3,L*Nb,128] origin broadcast is
+    # never materialized. (A closest-hit point variant measured 7% SLOWER
+    # than broadcast — [K1,1] operands cost lane-broadcasts per use — so
+    # only occlusion uses the point path.)
+    def occluded_point(self, o_pts, d, tmax, interpret=False):
+        from vkrt_tpu.rt.dense import trace_dense
+        _, slot, _, _ = trace_dense(self.tree, o_pts, d, tmax, occlusion=True,
+                                    interpret=interpret, point_origin=True)
         return slot >= 0
 
 
@@ -160,6 +183,10 @@ class ReferenceBackend(NamedTuple):
                              C.RAY_TMIN, L.from_lanes(tmax))
         return L.to_lanes(occ)
 
+    # point-origin API parity with DenseBackend (broadcast + normal path)
+    def occluded_point(self, o_pts, d, tmax, interpret=False):
+        return self.occluded(_broadcast_points(o_pts, d), d, tmax, interpret)
+
 
 # ---------------------------------------------------------------------------
 # The frame function (jitted once per config)
@@ -170,9 +197,9 @@ def render_frame(backend, tex: TextureArrays, proj_inverse, view_inverse,
     """Render one frame. Returns (framebuffer f32[H,W,3], rays i32[Nb,128]
     traced per pixel — summed on host for the Mrays metric)."""
     wp, hp = _pad_dims(cfg.width, cfg.height)
-    origins, dirs = camera_ray_blocks(proj_inverse, view_inverse, cfg)
-    accum, ray_count = wavefront_rounds(backend, tex, origins, dirs, lights,
-                                        cfg, interpret=interpret)
+    origin_pt, dirs, valid = camera_ray_blocks(proj_inverse, view_inverse, cfg)
+    accum, ray_count = wavefront_rounds(backend, tex, origin_pt, dirs, lights,
+                                        cfg, valid=valid, interpret=interpret)
     fb = jnp.stack([untile(accum[k], hp, wp)[: cfg.height, : cfg.width]
                     for k in range(3)], axis=-1)
     return fb, ray_count
@@ -194,37 +221,46 @@ def render_frame_u8(backend, tex: TextureArrays, proj_inverse, view_inverse,
 
 
 def camera_ray_blocks(proj_inverse, view_inverse, cfg: C.RenderConfig):
-    """Camera rays padded to tile multiples, lane-major coherent blocks."""
+    """Camera rays padded to tile multiples, lane-major coherent blocks.
+
+    Returns (origin_pt f32[3] — the camera position, shared by EVERY
+    primary ray, which unlocks the kernel's point-origin fast path;
+    dirs f32[3,Nb,128]; valid bool[Nb,128] — False on tile-padding rays,
+    which must neither trace nor count toward the Mrays metric)."""
     wp, hp = _pad_dims(cfg.width, cfg.height)
-    o, d = generate_rays(proj_inverse, view_inverse, cfg.width, cfg.height)
-    o = jnp.stack([tile(_pad_grid(c, wp, hp, FAR_SENTINEL)) for c in o])
+    _, d = generate_rays(proj_inverse, view_inverse, cfg.width, cfg.height)
+    origin_pt = view_inverse[:3, 3]
     d = jnp.stack([tile(_pad_grid(c, wp, hp, 1.0)) for c in d])
-    return o, L.normalize3(d)
+    ones = jnp.ones((cfg.height, cfg.width), jnp.bool_)
+    valid = tile(_pad_grid(ones, wp, hp, False))
+    return origin_pt, L.normalize3(d), valid
 
 
-def wavefront_rounds(backend, tex: TextureArrays, origins, dirs, lights,
-                     cfg: C.RenderConfig, interpret: bool = False):
+def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
+                     cfg: C.RenderConfig, valid=None,
+                     interpret: bool = False):
     """The trace→shade rounds over a lane-major wavefront ([3,Nb,128]).
     Pure map over rays (scene replicated) — the unit that shards across
-    chips. Returns (accum [3,Nb,128], ray_count [Nb,128])."""
-    nb = origins.shape[1]
+    chips. `origin_pt` is the camera position f32[3] (every primary ray
+    shares it — the kernel's point-origin fast path); `valid` masks
+    tile-padding rays, which must neither trace nor count toward the
+    Mrays/s metric. Returns (accum [3,Nb,128], ray_count [Nb,128])."""
+    nb = dirs.shape[1]
     shape = (nb, L.LANES)
+    nblocks = nb * L.LANES // BLOCK
     accum = jnp.zeros((3,) + shape, jnp.float32)
     attenuation = jnp.ones(shape, jnp.float32)
-    # tile-padding rays park at FAR_SENTINEL (camera_ray_blocks /
-    # render_frame_sharded); they must neither trace nor count toward the
-    # Mrays/s metric (padding inflated it ~1% at non-tile-multiple sizes)
-    active = origins[0] != FAR_SENTINEL
+    active = (jnp.ones(shape, jnp.bool_) if valid is None else valid)
     ray_count = jnp.zeros(shape, jnp.int32)
     lights = lights[:cfg.num_lights]
+    origins = jnp.broadcast_to(origin_pt[:, None, None], (3,) + shape)
 
     for _depth in range(cfg.max_depth):
         # named scopes surface as ranges in jax.profiler traces — the
         # DebugMarker beginLabel/endLabel analogue (ref: DebugMarker.cpp)
-        # dead rays park with tmax=0 (NOT a far origin): they can't hit,
-        # can't gate any cluster (dense kernel's t_s > TMIN clause), and
-        # keep the block's origin AABB tight so the scalar t-prune works —
-        # all-dead blocks cost one box sweep
+        # dead rays park with tmax=0: they can't hit, can't gate any
+        # cluster (dense kernel's t_s > TMIN clause) — all-dead blocks
+        # cost one box sweep
         with jax.named_scope(f"trace_closest_d{_depth}"):
             tmax = jnp.where(active, C.RAY_TMAX, 0.0)
             t, u, v, attrs, hitm = backend.closest(origins, dirs, tmax,
@@ -272,16 +308,18 @@ def wavefront_rounds(backend, tex: TextureArrays, origins, dirs, lights,
                 # shadow rays are traced FROM THE LIGHT toward the surface
                 # (same segment, same occlusion answer, epsilon mirrored
                 # to the surface end): every ray in a block then shares
-                # one origin point, so the kernel's origin-box entry
-                # bounds are exact and a subtile's rays form a tight cone
-                so = jnp.concatenate(
-                    [jnp.broadcast_to(lights[li][:, None, None], pos.shape)
-                     for li in range(nl)], axis=1)             # [3,L*Nb,128]
+                # one origin POINT — the kernel's point-origin fast path
+                # (~27% fewer sweep ops) with exact origin-box entry
+                # bounds; a subtile's rays form a tight cone
+                so_pts = jnp.concatenate(
+                    [jnp.broadcast_to(lights[li][None, :], (nblocks, 3))
+                     for li in range(nl)], axis=0)             # [L*NB,3]
                 sd = jnp.concatenate([-g[0] for g in geo], axis=1)
                 st = jnp.concatenate(                          # [L*Nb,128]
                     [jnp.where(c, g[1] - C.RAY_TMIN, 0.0)
                      for c, g in zip(casts, geo)], axis=0)
-                occ_all = backend.occluded(so, sd, st, interpret=interpret)
+                occ_all = backend.occluded_point(so_pts, sd, st,
+                                                 interpret=interpret)
             occs = jnp.split(occ_all, nl, axis=0)
             for c in casts:
                 ray_count = ray_count + c.astype(jnp.int32)
