@@ -85,8 +85,9 @@ def main():
         return trace_dense(tree, o, d, tm, with_attributes=True)
 
     cj = jax.jit(closest)
-    tmr("closest_d1_carryA_reflonly", cj, tree, oA, dA, refl)
-    tmr("closest_d1_carryB_allhit", cj, tree, oB, dB, refl)
+    if not os.environ.get("ONLY_BLOCKS"):
+        tmr("closest_d1_carryA_reflonly", cj, tree, oA, dA, refl)
+        tmr("closest_d1_carryB_allhit", cj, tree, oB, dB, refl)
 
     def shadows(tree, attrs_in):
         o, dd, act = attrs_in
@@ -113,8 +114,9 @@ def main():
         return jnp.sum(oslot >= 0)
 
     sj = jax.jit(shadows)
-    tmr("d1_trace_shade_shadow_A", sj, tree, (oA, dA, refl))
-    tmr("d1_trace_shade_shadow_B", sj, tree, (oB, dB, refl))
+    if not os.environ.get("ONLY_BLOCKS"):
+        tmr("d1_trace_shade_shadow_A", sj, tree, (oA, dA, refl))
+        tmr("d1_trace_shade_shadow_B", sj, tree, (oB, dB, refl))
 
     # --- occlusion block-size sweep on REAL depth-0 shadow state ---
     def shadow_state(tree, tex, o_full, d, valid):
@@ -136,9 +138,9 @@ def main():
 
     sd0, st0 = jax.jit(shadow_state)(tree, tex, o_full, d, valid)
     for blk in (512, 1024, 2048):
-        nbl = nb * 128 // blk
+        per_light = nb * 128 // blk      # blocks per light SECTION
         so_pts = jnp.concatenate(
-            [jnp.broadcast_to(lights[li][None, :], (nbl // nl, 3))
+            [jnp.broadcast_to(lights[li][None, :], (per_light, 3))
              for li in range(nl)], axis=0)
 
         def occl(tree, so_pts, sd, st, b=blk):

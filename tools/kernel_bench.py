@@ -150,6 +150,31 @@ def main():
         print(json.dumps({"step": "sample3maps_2M",
                           "ms": round(dt * 1e3, 1)}))
 
+    if "k1sweep" in steps:
+        # cluster granularity: K1=64 halves the per-cluster sweep and
+        # tightens boxes (more clusters gated but fewer tris/ray)
+        from vkrt_tpu.accel.clusters import build_clusters, scene_attrs
+        idx = np.asarray(flat.indices, np.int64)
+        v0 = jnp.asarray(flat.positions[idx[:, 0]])
+        e1 = jnp.asarray(flat.positions[idx[:, 1]]) - v0
+        e2 = jnp.asarray(flat.positions[idx[:, 2]]) - v0
+        for k1 in (64, 128):
+            tr = build_clusters(v0, e1, e2, attrs=scene_attrs(flat),
+                                with_attributes=True, device=False, k1=k1)
+            da = bench(lambda t=tr: trace_dense(t, oj, dj, tmax,
+                                                with_attributes=True))
+            do = bench(lambda t=tr: trace_dense(t, oj, dj, tmax,
+                                                occlusion=True))
+            out = trace_dense(tr, oj, dj, tmax, stats=True)
+            st = np.asarray(out[-1])
+            print(json.dumps({
+                "step": f"k1_{k1}",
+                "mrays_attrs": round(n / da / 1e6, 2),
+                "mrays_occl": round(n / do / 1e6, 2),
+                "gated_per_block": round(float(st[:, 0].mean()), 1),
+                "swept_per_block": round(float(st[:, 1].mean()), 1)}),
+                flush=True)
+
     if "recip" in steps:
         # approx reciprocal + 1 Newton vs full divide in the closest sweep
         from vkrt_tpu.golden.cpu_tracer import closest_hit as brute

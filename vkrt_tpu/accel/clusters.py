@@ -92,7 +92,7 @@ def _argsort(codes):
 
 def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
                    device: bool = True, aabb=None,
-                   method: str = "split") -> ClusterTree:
+                   method: str = "split", k1: int = K1) -> ClusterTree:
     """Build the cluster tree. `attrs` (optional dict of per-triangle arrays:
     n0..n2 [T,3], uv0..uv2 [T,2], t0..t2 [T,3], mat [T,3]) fills the
     attribute rows when with_attributes=True.
@@ -111,6 +111,7 @@ def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
         c = np.asarray(v0) + (np.asarray(e1) + np.asarray(e2)) / 3.0
         aabb = (c.min(axis=0), c.max(axis=0))
     if device:
+        assert k1 == K1, "device rebuild path is fixed at K1=128"
         lo = jnp.asarray(aabb[0], jnp.float32)
         hi = jnp.asarray(aabb[1], jnp.float32)
         order = _argsort(_morton_keys(v0, e1, e2, lo, hi))
@@ -118,13 +119,13 @@ def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
     # host path: zero compile cost — numpy order/assembly, one
     # device_put of the finished tree
     if method == "split":
-        order = split_permutation(v0, e1, e2)
+        order = split_permutation(v0, e1, e2, k1=k1)
     else:
         codes = _morton_host(np.asarray(v0), np.asarray(e1), np.asarray(e2),
                              np.asarray(aabb[0]), np.asarray(aabb[1]))
         order = np.argsort(codes, kind="stable").astype(np.int32)
     return _assemble_host(np.asarray(v0), np.asarray(e1), np.asarray(e2),
-                          order, attrs, with_attributes)
+                          order, attrs, with_attributes, k1=k1)
 
 
 
@@ -279,10 +280,12 @@ def _morton_host(v0, e1, e2, lo, hi):
 
 
 def _assemble_host(v0, e1, e2, order, attrs=None,
-                   with_attributes: bool = False) -> ClusterTree:
-    """numpy twin of _assemble (bit-identical layout, no XLA compile)."""
+                   with_attributes: bool = False, k1: int = K1) -> ClusterTree:
+    """numpy twin of _assemble (bit-identical layout, no XLA compile).
+    `k1` = triangles per cluster (the kernel reads it off tri_data)."""
     import numpy as np
 
+    K1 = k1
     T = v0.shape[0]
     Tp = -(-T // K1) * K1
     C1 = Tp // K1

@@ -78,6 +78,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                   stats: bool, point_origin: bool, approx_recip: bool):
     R = d_ref.shape[-1]           # rays per block, on lanes
     NBUF = sem.shape[0]           # per-cluster DMA pipeline depth
+    K1 = tris.shape[1]            # triangles per cluster (from the build)
 
     if point_origin:
         # the whole block shares ONE origin point (primary rays: the
@@ -397,6 +398,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     nb = dirs.shape[1]
     N = nb * LANES
     assert N % block == 0, f"ray count {N} not a multiple of block {block}"
+    k1 = tree.tri_data.shape[1]   # triangles per cluster
     n_sc = tree.num_superclusters
     c2p = tree.sc_boxes.shape[1]
     NBUF = 4                          # cluster DMA pipeline depth
@@ -488,7 +490,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((NBUF, K1, ROWS), jnp.float32),   # cluster DMA pipeline
+            pltpu.VMEM((NBUF, k1, ROWS), jnp.float32),   # cluster DMA pipeline
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SMEM((maxc,), jnp.int32),              # gated cluster list
             pltpu.SMEM((maxc,), jnp.float32),            # conservative t bounds

@@ -1,0 +1,339 @@
+"""Multi-segment occlusion kernel: NS point-origin segment sets per block.
+
+The 4-light shadow pass dispatches 4 occlusion traces over the SAME
+surface tiles (wavefront/engine.py concatenates one section per light).
+Each section re-gates the same superclusters, re-emits and re-sorts the
+same work list, and re-DMAs the same cluster slabs — only the
+Möller–Trumbore sweep differs per light. This kernel processes all NS
+segment sets of a surface tile in ONE grid block:
+
+  * gating / work list / insertion sort / cluster DMA: ONCE per block
+    (gates = union over sets, t bound = min over sets)
+  * MT sweep: once per (cluster, set), with per-set scalar origins and
+    per-set early-outs (a fully-blocked set skips its remaining sweeps)
+
+Replaces the per-light sections of the shadow dispatch (ref contract:
+shader.rchit:119-152 — one shadow ray per light per hit). The segment
+sets share surface points but have different origins (the lights), so
+this is NOT expressible as a bigger block in the single-segment kernel
+(which would widen the cone and was measured 2048-regressive).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vkrt_tpu.accel.clusters import K2, ROWS, ClusterTree
+from vkrt_tpu.rt.dense import TMIN, _INF, _DET_EPS, LANES, _safe_inv
+
+
+def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
+                       tri_hbm,
+                       # outputs
+                       occ_out,
+                       # scratch
+                       tris, sem, gated, tlb, started, nlist, sc_mask,
+                       btmax, t_s,
+                       *, n_sc: int, ns: int):
+    R = d_ref.shape[-1]
+    NBUF = sem.shape[0]
+    K1 = tris.shape[1]
+
+    # per-set origin scalars + direction rows + inverse dirs
+    oxs = [o_ref[s, 0] for s in range(ns)]
+    oys = [o_ref[s, 1] for s in range(ns)]
+    ozs = [o_ref[s, 2] for s in range(ns)]
+    dxs = [d_ref[s * 3 + 0, 0] for s in range(ns)]
+    dys = [d_ref[s * 3 + 1, 0] for s in range(ns)]
+    dzs = [d_ref[s * 3 + 2, 0] for s in range(ns)]
+    ixs = [_safe_inv(d) for d in dxs]
+    iys = [_safe_inv(d) for d in dys]
+    izs = [_safe_inv(d) for d in dzs]
+
+    for s in range(ns):
+        t_s[s] = tmax_ref[s, 0]                    # [1,R]
+        btmax[s] = jnp.max(tmax_ref[s, 0])
+    nlist[0] = 0
+
+    def slab_entry(s, bmin_x, bmin_y, bmin_z, bmax_x, bmax_y, bmax_z):
+        """Set-s slab test: boxes [L,1] x rays [1,R]; see dense.py."""
+        t0x = (bmin_x - oxs[s]) * ixs[s]
+        t1x = (bmax_x - oxs[s]) * ixs[s]
+        t0y = (bmin_y - oys[s]) * iys[s]
+        t1y = (bmax_y - oys[s]) * iys[s]
+        t0z = (bmin_z - ozs[s]) * izs[s]
+        t1z = (bmax_z - ozs[s]) * izs[s]
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        hit = (tn <= tf) & (tf >= TMIN) & (tn <= t_s[s]) & (t_s[s] > TMIN)
+        entry = jnp.min(jnp.where(hit, tn, _INF), axis=1, keepdims=True)
+        return hit, entry
+
+    def tri_block(slot, s):
+        """Division-free any-hit MT of set s vs pipeline buffer `slot`."""
+        chunk = tris[slot]
+        v0x, v0y, v0z = chunk[:, 0:1], chunk[:, 1:2], chunk[:, 2:3]
+        e1x, e1y, e1z = chunk[:, 3:4], chunk[:, 4:5], chunk[:, 5:6]
+        e2x, e2y, e2z = chunk[:, 6:7], chunk[:, 7:8], chunk[:, 8:9]
+        dx, dy, dz = dxs[s], dys[s], dzs[s]
+
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
+        sx, sy, sz = oxs[s] - v0x, oys[s] - v0y, ozs[s] - v0z   # [K1,1]
+        up = sx * hx + sy * hy + sz * hz
+        qx = sy * e1z - sz * e1y                                # [K1,1]
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        vp = dx * qx + dy * qy + dz * qz
+        tp = e2x * qx + e2y * qy + e2z * qz                     # [K1,1]
+        adet = jnp.abs(det)
+        sgn = jnp.where(det < 0, -1.0, 1.0)
+        su, sv, st = up * sgn, vp * sgn, tp * sgn
+        ok = ((adet > _DET_EPS) & (su >= 0) & (sv >= 0)
+              & (su + sv <= adet) & (st > TMIN * adet)
+              & (st < t_s[s] * adet))
+        anyhit = jnp.any(ok, axis=0, keepdims=True)             # [1,R]
+
+        @pl.when(jnp.any(anyhit))
+        def _():
+            t_s[s] = jnp.where(anyhit, TMIN, t_s[s])
+            btmax[s] = jnp.max(t_s[s])
+
+    # supercluster bitmask: union over segment sets
+    scb = jnp.swapaxes(sc_ref[:], 0, 1)            # [C2p, 8]
+    sc_any = None
+    for s in range(ns):
+        h, _ = slab_entry(s, scb[:, 0:1], scb[:, 1:2], scb[:, 2:3],
+                          scb[:, 3:4], scb[:, 4:5], scb[:, 5:6])
+        sc_any = h if sc_any is None else (sc_any | h)
+    sc_sub = jax.lax.broadcasted_iota(jnp.int32, sc_any.shape, 0)
+    sc_w = jnp.left_shift(jnp.int32(1), sc_sub & 31)
+    n_words = sc_mask.shape[0]
+    for w in range(n_words):
+        in_word = (sc_sub >= w * 32) & (sc_sub < (w + 1) * 32)
+        sc_mask[w] = jnp.sum(jnp.where(sc_any & in_word, sc_w, 0))
+
+    def test_sc(s):
+        word = sc_mask[jax.lax.shift_right_logical(s, 5)]
+        return (jax.lax.shift_right_logical(word, s & 31) & 1) == 1
+
+    def ctz32(low):
+        c = jnp.int32(0)
+        for shift in (16, 8, 4, 2, 1):
+            mask = (jnp.int32(1) << shift) - 1
+            z = (low & mask) == 0
+            c = c + jnp.where(z, shift, 0)
+            low = jnp.where(z, jax.lax.shift_right_logical(low, shift), low)
+        return c
+
+    cl_sub = jax.lax.broadcasted_iota(jnp.int32, (K2, 1), 0)
+
+    def pre_body(k, _):
+        sidx = order_ref[0, 0, k]
+
+        @pl.when((sidx >= 0) & test_sc(sidx))
+        def _():
+            cb = jnp.swapaxes(cl_ref[sidx], 0, 1)  # [K2, 8]
+            good = None
+            entry_min = None
+            for s in range(ns):
+                h, entry = slab_entry(s, cb[:, 0:1], cb[:, 1:2], cb[:, 2:3],
+                                      cb[:, 3:4], cb[:, 4:5], cb[:, 5:6])
+                e = jnp.where(h, entry, _INF)
+                good = h if good is None else (good | h)
+                entry_min = e if entry_min is None else jnp.minimum(
+                    entry_min, e)
+            w_bits = jnp.left_shift(jnp.int32(1), cl_sub & 31)
+            cl_lo = jnp.sum(jnp.where(good & (cl_sub < 32), w_bits, 0))
+            cl_hi = jnp.sum(jnp.where(good & (cl_sub >= 32), w_bits, 0))
+
+            def word_emit(word_base, mask0):
+                def body(m):
+                    c = ctz32(m & (-m)) + word_base
+                    cnt = nlist[0]
+                    gated[cnt] = sidx * K2 + c
+                    tlb[cnt] = 0.9999 * jnp.sum(
+                        jnp.where(cl_sub == c, entry_min, 0.0))
+                    nlist[0] = cnt + 1
+                    return m & (m - 1)
+
+                jax.lax.while_loop(lambda m: m != 0, body, mask0)
+
+            word_emit(0, cl_lo)
+            word_emit(32, cl_hi)
+        return 0
+
+    jax.lax.fori_loop(0, n_sc, pre_body, 0)
+    count = nlist[0]
+
+    def ins_body(i, _):
+        key_t = tlb[i]
+        key_g = gated[i]
+
+        def shift_cond(j):
+            return jnp.logical_and(j > 0, tlb[j - 1] > key_t)
+
+        def shift_body(j):
+            tlb[j] = tlb[j - 1]
+            gated[j] = gated[j - 1]
+            return j - 1
+
+        j = jax.lax.while_loop(shift_cond, shift_body, i)
+        tlb[j] = key_t
+        gated[j] = key_g
+        return 0
+
+    jax.lax.fori_loop(1, count, ins_body, 0)
+
+    def any_live():
+        m = btmax[0]
+        for s in range(1, ns):
+            m = jnp.maximum(m, btmax[s])
+        return m
+
+    def cluster_dma(i, slot):
+        return pltpu.make_async_copy(tri_hbm.at[gated[i]], tris.at[slot],
+                                     sem.at[slot])
+
+    for j in range(NBUF - 1):
+        @pl.when(j < count)
+        def _(j=j):
+            started[j] = 1
+            cluster_dma(j, j % NBUF).start()
+
+    def cl_body(i, _):
+        j = i + NBUF - 1
+
+        @pl.when(j < count)
+        def _():
+            go = tlb[j] < any_live()
+            started[j] = go.astype(jnp.int32)
+
+            @pl.when(go)
+            def _():
+                cluster_dma(j, jax.lax.rem(j, NBUF)).start()
+
+        @pl.when(started[i] == 1)
+        def _():
+            slot = jax.lax.rem(i, NBUF)
+            cluster_dma(i, slot).wait()
+
+            @pl.when(tlb[i] < any_live())
+            def _():
+                for s in range(ns):
+                    @pl.when(tlb[i] < btmax[s])
+                    def _(s=s):
+                        tri_block(slot, s)
+        return 0
+
+    jax.lax.fori_loop(0, count, cl_body, 0)
+
+    for s in range(ns):
+        occ_out[s, 0] = jnp.where(
+            (t_s[s] <= TMIN) & (tmax_ref[s, 0] > 0.0), 1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
+                   block: int = 512, interpret: bool = False):
+    """NS-segment-set occlusion trace.
+
+    light_pts: f32[NS, 3] — one origin point per segment set (shared by
+    every block). dirs: f32[NS, 3, Nb, 128] — per-set directions over the
+    SAME surface-tile wavefront. tmax: f32[NS, Nb, 128] (0 = parked).
+    Returns blocked bool[NS, Nb, 128].
+    """
+    ns = int(light_pts.shape[0])
+    nb = dirs.shape[2]
+    N = nb * LANES
+    assert N % block == 0
+    n_sc = tree.num_superclusters
+    c2p = tree.sc_boxes.shape[1]
+    k1 = tree.tri_data.shape[1]
+    NBUF = 4
+    maxc = tree.tri_data.shape[0]
+    nblocks = N // block
+
+    # prologue: front-to-back supercluster order keyed by the MIN entry
+    # over segment sets along each set's mean ray
+    db = dirs.reshape(ns, 3, nblocks, block).mean(axis=3)
+    key = None
+    for s in range(ns):
+        ob = light_pts[s][:, None]                           # [3,1]
+        d_s = db[s]                                          # [3,nblocks]
+        nrm = jnp.sqrt(jnp.maximum(
+            d_s[0] ** 2 + d_s[1] ** 2 + d_s[2] ** 2, 1e-24))
+        d_s = d_s / nrm[None]
+        inv = 1.0 / jnp.where(jnp.abs(d_s) < 1e-12,
+                              jnp.where(d_s < 0, -1e-12, 1e-12), d_s)
+        tn = None
+        tf = None
+        for a in range(3):
+            lo = tree.sc_boxes[a, :n_sc]
+            hi = tree.sc_boxes[a + 3, :n_sc]
+            t0 = (lo[None, :] - ob[a][:, None]) * inv[a][:, None]
+            t1 = (hi[None, :] - ob[a][:, None]) * inv[a][:, None]
+            lo_t = jnp.minimum(t0, t1)
+            hi_t = jnp.maximum(t0, t1)
+            tn = lo_t if tn is None else jnp.maximum(tn, lo_t)
+            tf = hi_t if tf is None else jnp.minimum(tf, hi_t)
+        k_s = jnp.where(tn <= tf, jnp.maximum(tn, 0.0), jnp.inf)
+        key = k_s if key is None else jnp.minimum(key, k_s)
+    sc_order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    order_w = -(-n_sc // 64) * 64
+    sc_order = jnp.concatenate(
+        [sc_order, jnp.full((nblocks, order_w - n_sc), -1, jnp.int32)],
+        axis=1).reshape(nblocks, 1, order_w)
+
+    kernel = functools.partial(_occl_multi_kernel, n_sc=n_sc, ns=ns)
+    d_k = dirs.reshape(ns * 3, nblocks, 1, block)
+    tmax_k = tmax.reshape(ns, nblocks, 1, block)
+    out_shape = jax.ShapeDtypeStruct((ns, nblocks, 1, block), jnp.int32)
+    occ = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, order_w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, c2p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sc, 8, K2), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns * 3, 1, 1, block), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, 1, 1, block), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((ns, 1, 1, block), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, k1, ROWS), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SMEM((maxc,), jnp.int32),
+            pltpu.SMEM((maxc,), jnp.float32),
+            pltpu.SMEM((maxc,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((order_w // 32,), jnp.int32),
+            pltpu.SMEM((ns,), jnp.float32),
+            pltpu.VMEM((ns, 1, block), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sc_order, tree.sc_boxes, tree.cl_boxes, light_pts, d_k, tmax_k,
+      tree.tri_data)
+
+    return occ.reshape(ns, nb, LANES) > 0

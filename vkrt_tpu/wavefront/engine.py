@@ -123,12 +123,22 @@ def _pad_grid(g, wp, hp, value):
 # ---------------------------------------------------------------------------
 
 BLOCK = 512                       # rays per dense-kernel block (= TILE_Y*TILE_X)
+# Occlusion dispatches prefer 1024-ray blocks: no per-hit state to keep,
+# and halving the per-block fixed costs (prepass, work list, prologue
+# row) measured 294 -> 215 ms on the 1080p 4-light shadow pass (2048
+# regressed: cone too wide). Falls back to 512 when the per-light
+# wavefront doesn't divide.
+OCCL_BLOCK = 1024
 
 
-def _broadcast_points(o_pts, d):
+def _occl_block(n_rays_per_section: int) -> int:
+    return OCCL_BLOCK if n_rays_per_section % OCCL_BLOCK == 0 else BLOCK
+
+
+def _broadcast_points(o_pts, d, block: int = BLOCK):
     """[NB,3] per-block origin points → full [3,Nb,128] origins (for
     backends without a native point-origin path)."""
-    rows = BLOCK // L.LANES
+    rows = block // L.LANES
     o = jnp.repeat(o_pts, rows, axis=0).T[:, :, None]      # [3, Nb, 1]
     return jnp.broadcast_to(o, d.shape)
 
@@ -155,10 +165,12 @@ class DenseBackend(NamedTuple):
     # never materialized. (A closest-hit point variant measured 7% SLOWER
     # than broadcast — [K1,1] operands cost lane-broadcasts per use — so
     # only occlusion uses the point path.)
-    def occluded_point(self, o_pts, d, tmax, interpret=False):
+    def occluded_point(self, o_pts, d, tmax, interpret=False,
+                       block=BLOCK):
         from vkrt_tpu.rt.dense import trace_dense
         _, slot, _, _ = trace_dense(self.tree, o_pts, d, tmax, occlusion=True,
-                                    interpret=interpret, point_origin=True)
+                                    interpret=interpret, point_origin=True,
+                                    block=block)
         return slot >= 0
 
 
@@ -184,8 +196,10 @@ class ReferenceBackend(NamedTuple):
         return L.to_lanes(occ)
 
     # point-origin API parity with DenseBackend (broadcast + normal path)
-    def occluded_point(self, o_pts, d, tmax, interpret=False):
-        return self.occluded(_broadcast_points(o_pts, d), d, tmax, interpret)
+    def occluded_point(self, o_pts, d, tmax, interpret=False,
+                       block=BLOCK):
+        return self.occluded(_broadcast_points(o_pts, d, block), d, tmax,
+                             interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +261,6 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
     Mrays/s metric. Returns (accum [3,Nb,128], ray_count [Nb,128])."""
     nb = dirs.shape[1]
     shape = (nb, L.LANES)
-    nblocks = nb * L.LANES // BLOCK
     accum = jnp.zeros((3,) + shape, jnp.float32)
     attenuation = jnp.ones(shape, jnp.float32)
     active = (jnp.ones(shape, jnp.bool_) if valid is None else valid)
@@ -309,17 +322,21 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                 # (same segment, same occlusion answer, epsilon mirrored
                 # to the surface end): every ray in a block then shares
                 # one origin POINT — the kernel's point-origin fast path
-                # (~27% fewer sweep ops) with exact origin-box entry
-                # bounds; a subtile's rays form a tight cone
+                # with exact origin-box entry bounds; a subtile's rays
+                # form a tight cone. Occlusion keeps no per-hit state, so
+                # it runs at the larger OCCL_BLOCK (measured -27%).
+                oblk = _occl_block(nb * L.LANES)
+                nob = nb * L.LANES // oblk                     # per light
                 so_pts = jnp.concatenate(
-                    [jnp.broadcast_to(lights[li][None, :], (nblocks, 3))
+                    [jnp.broadcast_to(lights[li][None, :], (nob, 3))
                      for li in range(nl)], axis=0)             # [L*NB,3]
                 sd = jnp.concatenate([-g[0] for g in geo], axis=1)
                 st = jnp.concatenate(                          # [L*Nb,128]
                     [jnp.where(c, g[1] - C.RAY_TMIN, 0.0)
                      for c, g in zip(casts, geo)], axis=0)
                 occ_all = backend.occluded_point(so_pts, sd, st,
-                                                 interpret=interpret)
+                                                 interpret=interpret,
+                                                 block=oblk)
             occs = jnp.split(occ_all, nl, axis=0)
             for c in casts:
                 ray_count = ray_count + c.astype(jnp.int32)
