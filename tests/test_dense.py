@@ -195,3 +195,38 @@ def test_point_origin_matches_broadcast(scene):
     ogt = trace_lane(tree, jnp.asarray(pts), db, tm, occlusion=True,
                      interpret=True, point_origin=True)
     np.testing.assert_array_equal(np.asarray(orf[1]), np.asarray(ogt[1]))
+
+
+def test_occluded_multi_matches_per_light(scene):
+    """Multi-segment occlusion (one block serves NS lights' segments,
+    shared gating/DMA, per-set sweep skip) == per-light point-origin
+    dispatches, including parked rays."""
+    from vkrt_tpu.rt.dense import trace_dense as trace_lane
+    from vkrt_tpu.rt.occl_multi import occluded_multi
+    from vkrt_tpu.utils import layout as L
+
+    v0, e1, e2, tree = scene
+    rng = np.random.default_rng(21)
+    NS, N = 3, 256
+    lights = np.array([[6, 6, 0], [2, 5, 0], [-6, 3, 0]], np.float32)
+    pts = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    dirs = np.zeros((NS, 3, N // 128, 128), np.float32)
+    tm = np.zeros((NS, N // 128, 128), np.float32)
+    for s in range(NS):
+        dvec = pts - lights[s]
+        dist = np.linalg.norm(dvec, axis=1)
+        dn = dvec / dist[:, None]
+        dirs[s] = np.asarray(L.to_cvec(jnp.asarray(dn)))
+        tmv = (dist - 0.001).astype(np.float32)
+        tmv[rng.random(N) < 0.3] = 0.0          # parked rays
+        tm[s] = np.asarray(L.to_lanes(jnp.asarray(tmv)))
+    occ = occluded_multi(tree, jnp.asarray(lights), jnp.asarray(dirs),
+                         jnp.asarray(tm), block=128, interpret=True)
+    for s in range(NS):
+        o_pts = np.repeat(lights[s][None, :], N // 128, axis=0)
+        _, slot, _, _ = trace_lane(tree, jnp.asarray(o_pts),
+                                   jnp.asarray(dirs[s]), jnp.asarray(tm[s]),
+                                   occlusion=True, point_origin=True,
+                                   block=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(slot) >= 0,
+                                      np.asarray(occ[s]))

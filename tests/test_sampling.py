@@ -116,3 +116,36 @@ def test_layout_roundtrips(rng):
     np.testing.assert_allclose(
         np.asarray(L.from_cvec(L.cross3(a, b))),
         np.cross(v, np.asarray(L.from_cvec(b))), rtol=2e-5, atol=1e-5)
+
+
+def test_compact_sampler_matches_full(rng):
+    """sample_material_compact == sample_material on live lanes, zeros on
+    dead rows, for any liveness pattern (incl. all-dead and all-live)."""
+    from vkrt_tpu.scene.textures import build_material_heap
+    from vkrt_tpu.shade.sampling import sample_material_compact
+
+    imgs = make_images(rng)
+    triples = np.array([[0, 1, 2], [2, 0, 1]], np.int32)
+    heap = build_material_heap(imgs, triples)
+    args = (jnp.asarray(heap.texels_tri), jnp.asarray(heap.level_offset),
+            jnp.asarray(heap.level_width), jnp.asarray(heap.level_height))
+
+    nb = 16
+    sid = jnp.asarray(rng.integers(0, 2, (nb, 128)), jnp.int32)
+    uv = jnp.asarray(rng.uniform(-2, 3, (2, nb, 128)), jnp.float32)
+    full = sample_material(*args, sid, uv)
+
+    for pattern in ("sparse", "none", "all"):
+        if pattern == "sparse":
+            live = jnp.asarray(rng.random((nb, 128)) < 0.2)
+        elif pattern == "none":
+            live = jnp.zeros((nb, 128), bool)
+        else:
+            live = jnp.ones((nb, 128), bool)
+        got = sample_material_compact(*args, sid, uv, live, cap_rows=8)
+        for k in range(3):
+            np.testing.assert_allclose(
+                np.asarray(got[k])[:, np.asarray(live)],
+                np.asarray(full[k])[:, np.asarray(live)], atol=1e-6)
+            dead_rows = ~np.asarray(jnp.any(live, axis=1))
+            assert (np.asarray(got[k])[:, dead_rows] == 0).all()

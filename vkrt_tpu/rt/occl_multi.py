@@ -37,9 +37,8 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                        # outputs
                        occ_out,
                        # scratch
-                       tris, sem, gated, tlb, started, nlist, sc_mask,
-                       btmax, t_s,
-                       *, n_sc: int, ns: int):
+                       tris, sem, gated, tlb, smask, started, nlist, sc_mask,
+                       btmax, *t_s, n_sc: int, ns: int):
     R = d_ref.shape[-1]
     NBUF = sem.shape[0]
     K1 = tris.shape[1]
@@ -56,7 +55,7 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
     izs = [_safe_inv(d) for d in dzs]
 
     for s in range(ns):
-        t_s[s] = tmax_ref[s, 0]                    # [1,R]
+        t_s[s][:] = tmax_ref[s, 0]                 # [1,R]
         btmax[s] = jnp.max(tmax_ref[s, 0])
     nlist[0] = 0
 
@@ -74,9 +73,10 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
-        hit = (tn <= tf) & (tf >= TMIN) & (tn <= t_s[s]) & (t_s[s] > TMIN)
+        ts = t_s[s][:]
+        hit = (tn <= tf) & (tf >= TMIN) & (tn <= ts) & (ts > TMIN)
         entry = jnp.min(jnp.where(hit, tn, _INF), axis=1, keepdims=True)
-        return hit, entry
+        return jnp.any(hit, axis=1, keepdims=True), entry
 
     def tri_block(slot, s):
         """Division-free any-hit MT of set s vs pipeline buffer `slot`."""
@@ -102,13 +102,13 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         su, sv, st = up * sgn, vp * sgn, tp * sgn
         ok = ((adet > _DET_EPS) & (su >= 0) & (sv >= 0)
               & (su + sv <= adet) & (st > TMIN * adet)
-              & (st < t_s[s] * adet))
+              & (st < t_s[s][:] * adet))
         anyhit = jnp.any(ok, axis=0, keepdims=True)             # [1,R]
 
         @pl.when(jnp.any(anyhit))
         def _():
-            t_s[s] = jnp.where(anyhit, TMIN, t_s[s])
-            btmax[s] = jnp.max(t_s[s])
+            t_s[s][:] = jnp.where(anyhit, TMIN, t_s[s][:])
+            btmax[s] = jnp.max(t_s[s][:])
 
     # supercluster bitmask: union over segment sets
     scb = jnp.swapaxes(sc_ref[:], 0, 1)            # [C2p, 8]
@@ -147,13 +147,16 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
             cb = jnp.swapaxes(cl_ref[sidx], 0, 1)  # [K2, 8]
             good = None
             entry_min = None
+            setbits = None
             for s in range(ns):
                 h, entry = slab_entry(s, cb[:, 0:1], cb[:, 1:2], cb[:, 2:3],
                                       cb[:, 3:4], cb[:, 4:5], cb[:, 5:6])
                 e = jnp.where(h, entry, _INF)
+                b = jnp.where(h, jnp.int32(1 << s), 0)
                 good = h if good is None else (good | h)
                 entry_min = e if entry_min is None else jnp.minimum(
                     entry_min, e)
+                setbits = b if setbits is None else (setbits | b)
             w_bits = jnp.left_shift(jnp.int32(1), cl_sub & 31)
             cl_lo = jnp.sum(jnp.where(good & (cl_sub < 32), w_bits, 0))
             cl_hi = jnp.sum(jnp.where(good & (cl_sub >= 32), w_bits, 0))
@@ -165,6 +168,9 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                     gated[cnt] = sidx * K2 + c
                     tlb[cnt] = 0.9999 * jnp.sum(
                         jnp.where(cl_sub == c, entry_min, 0.0))
+                    # which segment sets gated this cluster (sweep skip)
+                    smask[cnt] = jnp.sum(
+                        jnp.where(cl_sub == c, setbits, 0))
                     nlist[0] = cnt + 1
                     return m & (m - 1)
 
@@ -180,6 +186,7 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
     def ins_body(i, _):
         key_t = tlb[i]
         key_g = gated[i]
+        key_m = smask[i]
 
         def shift_cond(j):
             return jnp.logical_and(j > 0, tlb[j - 1] > key_t)
@@ -187,11 +194,13 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         def shift_body(j):
             tlb[j] = tlb[j - 1]
             gated[j] = gated[j - 1]
+            smask[j] = smask[j - 1]
             return j - 1
 
         j = jax.lax.while_loop(shift_cond, shift_body, i)
         tlb[j] = key_t
         gated[j] = key_g
+        smask[j] = key_m
         return 0
 
     jax.lax.fori_loop(1, count, ins_body, 0)
@@ -232,7 +241,8 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
             @pl.when(tlb[i] < any_live())
             def _():
                 for s in range(ns):
-                    @pl.when(tlb[i] < btmax[s])
+                    @pl.when(((jax.lax.shift_right_logical(smask[i], s) & 1)
+                              == 1) & (tlb[i] < btmax[s]))
                     def _(s=s):
                         tri_block(slot, s)
         return 0
@@ -241,7 +251,7 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
 
     for s in range(ns):
         occ_out[s, 0] = jnp.where(
-            (t_s[s] <= TMIN) & (tmax_ref[s, 0] > 0.0), 1, 0)
+            (t_s[s][:] <= TMIN) & (tmax_ref[s, 0] > 0.0), 1, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
@@ -326,12 +336,12 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SMEM((maxc,), jnp.int32),
             pltpu.SMEM((maxc,), jnp.float32),
+            pltpu.SMEM((maxc,), jnp.int32),      # per-entry segment-set bits
             pltpu.SMEM((maxc,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SMEM((order_w // 32,), jnp.int32),
             pltpu.SMEM((ns,), jnp.float32),
-            pltpu.VMEM((ns, 1, block), jnp.float32),
-        ],
+        ] + [pltpu.VMEM((1, block), jnp.float32) for _ in range(ns)],
         interpret=interpret,
     )(sc_order, tree.sc_boxes, tree.cl_boxes, light_pts, d_k, tmax_k,
       tree.tri_data)

@@ -17,6 +17,7 @@ Lane-major interface: tex_ids [Nb,128], uv [2,Nb,128] → rgba [4,Nb,128].
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -56,3 +57,48 @@ def sample_material(texels_tri, level_offset, level_width, level_height,
         return jnp.moveaxis(rgba, -1, 0)     # [4,Nb,128]
 
     return lerp(0), lerp(16), lerp(32)
+
+
+def sample_material_compact(texels_tri, level_offset, level_width,
+                            level_height, slot_ids, uv, live,
+                            cap_rows: int, lod: int = 0):
+    """sample_material over only the 128-lane ROWS with any live lane.
+
+    Gather cost is proportional to lanes gathered (per-row fixed cost,
+    pattern-independent — measured round 2), so sparse wavefronts (the
+    depth>=1 rounds: ~25% live rows at 1080p) pay full price under the
+    plain sampler. Here live rows are packed to the front (stable
+    argsort of the row-liveness bits) and sampled in `cap_rows` chunks
+    inside a while_loop — trip count ceil(live_rows/cap_rows), so the
+    result is exact for ANY liveness while sparse rounds run ~3.4x
+    faster (141.7 -> 41.2 ms on real depth-1 state, measured).
+    Dead rows return zeros. Returns (base, mr, normal) each [4,Nb,128]."""
+    nb = slot_ids.shape[0]
+    glive = jnp.any(live, axis=1)
+    perm = jnp.argsort(~glive, stable=True)
+    inv = jnp.argsort(perm, stable=True)
+    cnt = jnp.sum(glive.astype(jnp.int32))
+    sid_p = jnp.where(live, slot_ids, 0)[perm]
+    uv_p = jnp.where(live[None], uv, 0.0)[:, perm]
+
+    out0 = jnp.zeros((12, nb, 128), jnp.float32)
+
+    def cond(state):
+        k, _ = state
+        return k * cap_rows < cnt
+
+    def body(state):
+        k, acc = state
+        s_chunk = jax.lax.dynamic_slice(sid_p, (k * cap_rows, 0),
+                                        (cap_rows, 128))
+        u_chunk = jax.lax.dynamic_slice(uv_p, (0, k * cap_rows, 0),
+                                        (2, cap_rows, 128))
+        a, b, c = sample_material(texels_tri, level_offset, level_width,
+                                  level_height, s_chunk, u_chunk, lod=lod)
+        chunk = jnp.concatenate([a, b, c], axis=0)
+        acc = jax.lax.dynamic_update_slice(acc, chunk, (0, k * cap_rows, 0))
+        return k + 1, acc
+
+    _, out_p = jax.lax.while_loop(cond, body, (jnp.int32(0), out0))
+    out = out_p[:, inv]
+    return out[0:4], out[4:8], out[8:12]
