@@ -225,6 +225,35 @@ def main():
             print(json.dumps({"step": f"phase:{name}",
                               "frame_ms": round(ms, 1), "rays": int(rays)}))
 
+    if "configs" in steps:
+        # BASELINE configs 1-3 + 5 with the current engine (config 4 is
+        # bench.py). Frames-in-flight pacing like bench.
+        from vkrt_tpu.runtime import FrameScheduler
+        from vkrt_tpu.wavefront.engine import Renderer
+        for name, cfg, reb in (("config1", C.config1_primary(), None),
+                               ("config2", C.config2_shadows(), None),
+                               ("config3", C.config3_reflections(), None),
+                               ("config5", C.config5_stress(), "refit")):
+            rnd = Renderer(SCENE, cfg, backend="dense", max_texture_dim=512,
+                           quantize=True,
+                           rebuild=reb if reb else "refit")
+            cam = Camera(cfg.width, cfg.height)
+            cam.set_position(C.CAMERA_START_POSITION)
+            cam.set_rotation(C.CAMERA_START_ROTATION)
+            rnd.render(cam)          # compile
+            sched = FrameScheduler(inflight=3)
+            rays = 0
+            t0 = time.perf_counter()
+            nfr = 5
+            for _ in range(nfr):
+                sched.submit(rnd.render_async, cam)
+            for _idx, out in sched.drain():
+                rays = int(np.asarray(out[1]))
+            ms = (time.perf_counter() - t0) / nfr * 1000
+            print(json.dumps({"step": name, "frame_ms": round(ms, 1),
+                              "mrays": round(rays / ms / 1e3, 2),
+                              "rays": rays}), flush=True)
+
     if "order" in steps:
         # morton vs SAH-split cluster ordering, same kernel
         from vkrt_tpu.accel.clusters import build_clusters, scene_attrs
