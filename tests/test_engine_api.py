@@ -81,3 +81,41 @@ def test_midpath_camera_pose_golden(sponza_model):
                          jnp.asarray(C.LIGHT_POSITIONS), cfg)
     golden = render_golden(flat, heap, cam.proj_inverse, cam.view_inverse, cfg)
     assert rmse(np.asarray(fb), golden) <= 1e-3
+
+
+def test_tiny_frame_occl_block_fallback(sponza_model):
+    """A 32x16 frame (one 512-ray tile) doesn't divide OCCL_BLOCK=1024 —
+    the shadow dispatch must fall back to 512-ray blocks and still match
+    the reference backend."""
+    import dataclasses
+
+    from vkrt_tpu import config as C
+    from vkrt_tpu.app.camera import Camera
+    from vkrt_tpu.app.framebuffer import rmse
+    from vkrt_tpu.scene import flatten_model
+    from vkrt_tpu.scene.model import Model
+    from vkrt_tpu.wavefront.engine import (make_backend, render_frame,
+                                           texture_arrays, _occl_block)
+
+    assert _occl_block(512) == 512 and _occl_block(2048) == 1024
+
+    model = Model(submeshes=sponza_model.submeshes[:6],
+                  materials=sponza_model.materials,
+                  images=sponza_model.images)
+    flat = flatten_model(model)
+    tex = texture_arrays(model.images, flat)
+    cfg = dataclasses.replace(C.config2_shadows(), width=32, height=16,
+                              num_lights=4)
+    cam = Camera(cfg.width, cfg.height)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+    import jax.numpy as jnp
+    lights = jnp.asarray(C.LIGHT_POSITIONS)
+    fbs = []
+    for kind in ("dense", "reference"):
+        backend = make_backend(flat, kind)
+        fb, _ = render_frame(backend, tex, jnp.asarray(cam.proj_inverse),
+                             jnp.asarray(cam.view_inverse), lights, cfg,
+                             interpret=True)
+        fbs.append(np.asarray(fb))
+    assert rmse(fbs[0], fbs[1]) < 1e-3
