@@ -52,7 +52,7 @@ def main():
     # 3-swapchain-image pipelining): submit overlaps device execution
     # with host bookkeeping + framebuffer download of earlier frames
     from vkrt_tpu.runtime import FrameScheduler
-    reps = int(os.environ.get("VKRT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("VKRT_BENCH_REPS", "5"))
     sched = FrameScheduler(inflight=3)
     t0 = time.perf_counter()
     total_rays = 0

@@ -401,7 +401,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     k1 = tree.tri_data.shape[1]   # triangles per cluster
     n_sc = tree.num_superclusters
     c2p = tree.sc_boxes.shape[1]
-    NBUF = 4                          # cluster DMA pipeline depth
+    NBUF = 4                          # cluster DMA pipeline depth (8 measured neutral)
     maxc = tree.tri_data.shape[0]     # work-list capacity: every cluster
     nblocks = N // block
 
