@@ -230,3 +230,39 @@ def test_occluded_multi_matches_per_light(scene):
                                    block=128, interpret=True)
         np.testing.assert_array_equal(np.asarray(slot) >= 0,
                                       np.asarray(occ[s]))
+
+
+def test_dense_attrs_bit_exact(scene):
+    """The fused attribute select must return the STORED f32 attribute
+    values bit-exactly (it is a selection, not math). Guards against the
+    MXU one-hot matmul's default bf16 operand truncation, which silently
+    rounded uvs/normals to 8 mantissa bits (round-2 bug: bent reflection
+    rays, RMSE 0.104 vs the oracle at depth 2). Pallas interpret mode
+    reproduces TPU matmul precision semantics, so this catches it on CPU.
+    """
+    from vkrt_tpu.accel.clusters import build_clusters
+    from vkrt_tpu.rt.dense import trace_dense_rays
+
+    v0, e1, e2, _ = scene
+    rng = np.random.default_rng(31)
+    # attributes with many non-bf16-representable values
+    T = v0.shape[0]
+    attrs = {}
+    for k in ("n0", "n1", "n2", "t0", "t1", "t2"):
+        attrs[k] = jnp.asarray(rng.normal(size=(T, 3)).astype(np.float32))
+    for k in ("uv0", "uv1", "uv2"):
+        attrs[k] = jnp.asarray(rng.uniform(-4, 4, (T, 2)).astype(np.float32))
+    attrs["mat"] = jnp.asarray(rng.integers(0, 60, (T, 3)).astype(np.float32))
+    tree = build_clusters(jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+                          attrs=attrs, with_attributes=True, device=False)
+
+    o, d = make_rays(seed=33)
+    tmax = np.full(o.shape[0], 1e3, np.float32)
+    t, slot, u, v, out = trace_dense_rays(tree, o, d, tmax, block=128,
+                                          with_attributes=True,
+                                          interpret=True)
+    hit = np.asarray(slot) >= 0
+    stored = np.asarray(tree.tri_data)  # [C1p, K1, ROWS]
+    sl = np.asarray(slot)[hit]
+    want = stored[sl // 128, sl % 128, :36]
+    np.testing.assert_array_equal(np.asarray(out)[hit], want)

@@ -203,11 +203,17 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                 # all 36 shading attributes of each ray's winning tri in
                 # ONE MXU matmul: attrs[K1,36]ᵀ·onehot[K1,R] → [36,R]
                 # (36 VPU masked reduces per commit made the attrs path
-                # 2x slower than the plain trace — measured round 2)
+                # 2x slower than the plain trace — measured round 2).
+                # precision=HIGHEST: the MXU's default bf16 operand
+                # truncation ROUNDS THE SELECTED ATTRIBUTES (uv/normals
+                # to 8 mantissa bits) — bent reflection rays and warped
+                # uvs, RMSE 0.104 vs the oracle at depth 2 (round-2 bug,
+                # found by the full-scene hardware golden run)
                 sel = jax.lax.dot_general(
                     chunk[:, 0:36], onehot.astype(jnp.float32),
                     (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
                 attr_s[:] = jnp.where(better, sel, attr_s[:])
 
     # One dense pass over ALL supercluster boxes → multi-word scalar
@@ -439,7 +445,9 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     kernel = functools.partial(_trace_kernel, n_sc=n_sc, occlusion=occlusion,
                                with_attributes=with_attributes, stats=stats,
                                point_origin=point_origin,
-                               approx_recip=approx_recip and not interpret)
+                               approx_recip=approx_recip and not interpret
+                               and not __import__('os').environ.get(
+                                   'VKRT_NO_APPROX_RECIP'))
     grid = (nblocks,)
     attr_rows = 36 if with_attributes else 1
     # Ray I/O rides as [·, nblocks, 1, block] — a free reshape of the

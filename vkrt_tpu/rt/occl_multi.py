@@ -17,6 +17,11 @@ shader.rchit:119-152 — one shadow ray per light per hit). The segment
 sets share surface points but have different origins (the lights), so
 this is NOT expressible as a bigger block in the single-segment kernel
 (which would widen the cone and was measured 2048-regressive).
+
+The slab test / ctz / work-list machinery intentionally mirrors
+rt/dense.py rather than importing it: the kernels evolve independently
+(per-set t states here, hit commit there), and sharing ref-closing
+helpers across pallas kernels couples their scratch layouts.
 """
 
 from __future__ import annotations

@@ -74,6 +74,7 @@ def sample_material_compact(texels_tri, level_offset, level_width,
     faster (141.7 -> 41.2 ms on real depth-1 state, measured).
     Dead rows return zeros. Returns (base, mr, normal) each [4,Nb,128]."""
     nb = slot_ids.shape[0]
+    assert 0 < cap_rows <= nb, f"cap_rows {cap_rows} vs {nb} rows"
     glive = jnp.any(live, axis=1)
     perm = jnp.argsort(~glive, stable=True)
     inv = jnp.argsort(perm, stable=True)

@@ -180,6 +180,15 @@ class DenseBackend(NamedTuple):
     # 215 ms (4-light 1080p shadow pass) over per-light dispatches.
     def occluded_multi(self, light_pts, sd, st, interpret=False,
                        block=BLOCK):
+        import os
+        if os.environ.get("VKRT_NO_MULTI_OCCL"):   # bisect escape hatch
+            outs = []
+            for s in range(light_pts.shape[0]):
+                nob = sd.shape[2] * 128 // block
+                pts = jnp.broadcast_to(light_pts[s][None, :], (nob, 3))
+                outs.append(self.occluded_point(pts, sd[s], st[s],
+                                                interpret, block))
+            return jnp.stack(outs)
         from vkrt_tpu.rt.occl_multi import occluded_multi
         return occluded_multi(self.tree, light_pts, sd, st, block=block,
                               interpret=interpret)
