@@ -266,3 +266,46 @@ def test_dense_attrs_bit_exact(scene):
     sl = np.asarray(slot)[hit]
     want = stored[sl // 128, sl % 128, :36]
     np.testing.assert_array_equal(np.asarray(out)[hit], want)
+
+
+def test_occluded_multi_near_light_not_blocked(scene):
+    """A live segment with 0 < tmax <= TMIN (light within ~2*RAY_TMIN of
+    the surface) must be reported NOT blocked — the interval [TMIN, tmax]
+    is empty, so no intersection test can run. Round-2 advisor finding:
+    the multi kernel inferred blockage from t_s <= TMIN, which such rays
+    satisfy at initialization, producing false shadows and diverging from
+    the single-segment kernel and ReferenceBackend."""
+    from vkrt_tpu.rt.occl_multi import occluded_multi
+    from vkrt_tpu.utils import layout as L
+
+    v0, e1, e2, tree = scene
+    rng = np.random.default_rng(31)
+    NS, N = 2, 128
+    lights = np.array([[6, 6, 0], [-6, 3, 0]], np.float32)
+    pts = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    dirs = np.zeros((NS, 3, N // 128, 128), np.float32)
+    tm = np.zeros((NS, N // 128, 128), np.float32)
+    for s in range(NS):
+        dvec = pts - lights[s]
+        dist = np.linalg.norm(dvec, axis=1)
+        dn = dvec / dist[:, None]
+        dirs[s] = np.asarray(L.to_cvec(jnp.asarray(dn)))
+        tmv = (dist - 0.001).astype(np.float32)
+        tmv[rng.random(N) < 0.3] = 0.0            # parked rays
+        # near-light segments: live but with an empty [TMIN, tmax]
+        tmv[:8] = 0.0009
+        tm[s] = np.asarray(L.to_lanes(jnp.asarray(tmv)))
+    occ = occluded_multi(tree, jnp.asarray(lights), jnp.asarray(dirs),
+                         jnp.asarray(tm), block=128, interpret=True)
+    occ = np.asarray(occ)
+    for s in range(NS):
+        flat = np.asarray(L.from_lanes(jnp.asarray(occ[s])))
+        assert not flat[:8].any(), "empty-interval segments reported blocked"
+        # and the multi path still agrees with the single-segment kernel
+        from vkrt_tpu.rt.dense import trace_dense as trace_lane
+        o_pts = np.repeat(lights[s][None, :], N // 128, axis=0)
+        _, slot, _, _ = trace_lane(tree, jnp.asarray(o_pts),
+                                   jnp.asarray(dirs[s]), jnp.asarray(tm[s]),
+                                   occlusion=True, point_origin=True,
+                                   block=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(slot) >= 0, occ[s] > 0)

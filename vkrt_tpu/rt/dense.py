@@ -21,7 +21,8 @@ So rays never chase pointers. Instead, a grid of coherent ray blocks
            work list, then the list is insertion-sorted by that bound so
            the walk is strictly nearest-first.
   phase 3  the sorted list is streamed with an NBUF-deep per-cluster DMA
-           pipeline (20KB each); a scalar prune against the block's
+           pipeline (K1·ROWS·4 = 64KB per slab, 256KB of VMEM at
+           NBUF=4); a scalar prune against the block's
            shrinking max-t (btmax) skips both the DMA and the sweep of
            clusters no live ray can reach. Each surviving cluster:
            Möller–Trumbore of all R rays against its 128 triangles in one
@@ -249,7 +250,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     # Prepass: walk gated superclusters in front-to-back order; per SC,
     # one dense cluster-box test emits the gated CLUSTERS (global ids +
     # their conservative t lower bound) into the SMEM work list. The main
-    # loop below streams INDIVIDUAL clusters (20KB each).
+    # loop below streams INDIVIDUAL clusters (64KB slabs).
     cl_sub = jax.lax.broadcasted_iota(jnp.int32, (K2, 1), 0)
 
     def pre_body(k, _):
@@ -372,10 +373,6 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                                  jnp.where(lane128 == 1, counters[1], 0))
 
 
-@functools.partial(jax.jit, static_argnames=("block", "occlusion",
-                                             "with_attributes", "interpret",
-                                             "stats", "point_origin",
-                                             "approx_recip"))
 def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                 block: int = 512, occlusion: bool = False,
                 with_attributes: bool = False, interpret: bool = False,
@@ -401,6 +398,30 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     scalars. Origin-x-triangle terms drop from [K1,R] to [K1,1] in the
     sweep (~27% fewer VPU ops).
     """
+    # VKRT_NO_APPROX_RECIP resolves HERE, outside the jit, into the
+    # static approx_recip argument (so it is part of the jit cache key —
+    # reading it inside the traced function made post-first-trace
+    # toggles silently no-ops; advisor finding, round 2). Interpret mode
+    # always uses exact division (pl.reciprocal is TPU-only).
+    import os
+    approx_recip = (approx_recip and not interpret
+                    and not os.environ.get("VKRT_NO_APPROX_RECIP"))
+    return _trace_dense(tree, origins, dirs, tmax, block=block,
+                        occlusion=occlusion,
+                        with_attributes=with_attributes,
+                        interpret=interpret, stats=stats,
+                        point_origin=point_origin,
+                        approx_recip=approx_recip)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "occlusion",
+                                             "with_attributes", "interpret",
+                                             "stats", "point_origin",
+                                             "approx_recip"))
+def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
+                 block: int, occlusion: bool, with_attributes: bool,
+                 interpret: bool, stats: bool, point_origin: bool,
+                 approx_recip: bool):
     nb = dirs.shape[1]
     N = nb * LANES
     assert N % block == 0, f"ray count {N} not a multiple of block {block}"
@@ -445,9 +466,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     kernel = functools.partial(_trace_kernel, n_sc=n_sc, occlusion=occlusion,
                                with_attributes=with_attributes, stats=stats,
                                point_origin=point_origin,
-                               approx_recip=approx_recip and not interpret
-                               and not __import__('os').environ.get(
-                                   'VKRT_NO_APPROX_RECIP'))
+                               approx_recip=approx_recip)
     grid = (nblocks,)
     attr_rows = 36 if with_attributes else 1
     # Ray I/O rides as [·, nblocks, 1, block] — a free reshape of the

@@ -62,6 +62,14 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
     for s in range(ns):
         t_s[s][:] = tmax_ref[s, 0]                 # [1,R]
         btmax[s] = jnp.max(tmax_ref[s, 0])
+        # blocked is tracked EXPLICITLY (occ_out written at hit-commit
+        # time), not inferred from t_s afterwards: a live ray with
+        # 0 < tmax <= TMIN (light within ~2*RAY_TMIN of the surface)
+        # starts with t_s <= TMIN and would otherwise be reported
+        # blocked without any intersection test — diverging from the
+        # single-segment kernel and ReferenceBackend (advisor finding,
+        # round 2)
+        occ_out[s, 0] = jnp.zeros((1, R), jnp.int32)
     nlist[0] = 0
 
     def slab_entry(s, bmin_x, bmin_y, bmin_z, bmax_x, bmax_y, bmax_z):
@@ -112,6 +120,8 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
 
         @pl.when(jnp.any(anyhit))
         def _():
+            occ_out[s, 0] = jnp.where(anyhit, 1, occ_out[s, 0])
+            # t_s pinned to TMIN culls the blocked rays from later gating
             t_s[s][:] = jnp.where(anyhit, TMIN, t_s[s][:])
             btmax[s] = jnp.max(t_s[s][:])
 
@@ -253,10 +263,6 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         return 0
 
     jax.lax.fori_loop(0, count, cl_body, 0)
-
-    for s in range(ns):
-        occ_out[s, 0] = jnp.where(
-            (t_s[s][:] <= TMIN) & (tmax_ref[s, 0] > 0.0), 1, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))

@@ -121,18 +121,45 @@ class MaterialHeap:
 
 
 def build_material_heap(images: List[Image], triples: np.ndarray) -> MaterialHeap:
+    # Heap rows are keyed by SLOT, not by image: a slot's 48-byte rows
+    # interleave all three maps' quads, and `material_slots` already
+    # dedups slots via np.unique over (base, mr, normal) id triples — so
+    # two slots never carry identical row content and row-level dedup is
+    # structurally a no-op. What CAN repeat across slots is one IMAGE
+    # resized to the same co-size (e.g. the fallback map appearing in
+    # many triples): the chain cache below computes each
+    # (image, W, H) resize+mip chain once.
     if not images:
         images = [Image(width=1, height=1,
                         data=np.full((1, 1, 4), 255, dtype=np.uint8))]
     M = triples.shape[0]
+    chain_cache: dict = {}
+
+    def chain_for(idx: int, W: int, H: int):
+        key = (idx, W, H)
+        if key not in chain_cache:
+            im = images[idx].data
+            if (im.shape[1], im.shape[0]) != (W, H) and im.max() != im.min():
+                # resampling a resized non-constant map deviates from the
+                # original's continuous bilinear surface near the source
+                # texel grid; exact only for constant content (Sponza's
+                # one mismatched map is a solid fallback). Surface the
+                # approximation for other assets instead of shading
+                # silently differently (advisor finding, round 2).
+                import warnings
+                warnings.warn(
+                    f"material heap: co-sizing non-constant map (image "
+                    f"{idx}, {im.shape[1]}x{im.shape[0]} -> {W}x{H}); "
+                    f"bilinear reconstruction is approximate for this map")
+            chain_cache[key] = build_mip_chain(bilinear_resize(im, W, H))
+        return chain_cache[key]
+
     slot_chains = []
     for m in range(M):
-        imgs = [images[min(max(int(t), 0), len(images) - 1)].data
-                for t in triples[m]]
-        W = max(im.shape[1] for im in imgs)
-        H = max(im.shape[0] for im in imgs)
-        chains = [build_mip_chain(bilinear_resize(im, W, H)) for im in imgs]
-        slot_chains.append(chains)
+        ids = [min(max(int(t), 0), len(images) - 1) for t in triples[m]]
+        W = max(images[i].data.shape[1] for i in ids)
+        H = max(images[i].data.shape[0] for i in ids)
+        slot_chains.append([chain_for(i, W, H) for i in ids])
 
     max_levels = max(len(c[0]) for c in slot_chains)
     level_offset = np.zeros((M, max_levels), dtype=np.int32)
