@@ -32,6 +32,7 @@ def main():
 
     cfg = C.config4_flythrough()   # 1920x1080, depth 2, 4 lights, shadows+refl
     backend = os.environ.get("VKRT_BENCH_BACKEND", "dense")
+    sharded = os.environ.get("VKRT_BENCH_SHARD") == "1"
     # texture heap upload rides an ~11MB/s tunnel; 512^2 textures keep bench
     # setup bounded (sampling COST is resolution-independent — gather count
     # per ray is fixed — so the Mrays/s metric is unaffected)
@@ -44,6 +45,33 @@ def main():
     cam = Camera(cfg.width, cfg.height)
     cam.set_position(C.CAMERA_START_POSITION)
     cam.set_rotation(C.CAMERA_START_ROTATION)
+
+    n_chips = 1
+    if sharded:
+        # VKRT_BENCH_SHARD=1: the same frame through the rays-sharded
+        # shard_map path over whatever devices exist (1 chip here =
+        # shard_map overhead headroom; lights up on a real v5e-8 slice
+        # with no code changes — BASELINE.json v5e-8 mandate).
+        import jax
+        import jax.numpy as jnp
+
+        from vkrt_tpu.parallel.mesh import make_mesh, render_frame_sharded
+        mesh = make_mesh(jax.devices())
+        n_chips = int(mesh.devices.size)
+
+        @jax.jit
+        def _frame(be, tx, pi, vi, li):
+            fb, rays = render_frame_sharded(be, tx, pi, vi, li, cfg, mesh)
+            fb8 = jnp.clip(fb * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+            return fb8, jnp.sum(rays)
+
+        import numpy as np
+
+        renderer.render_async = lambda c: _frame(
+            renderer.backend, renderer.tex, jnp.asarray(c.proj_inverse),
+            jnp.asarray(c.view_inverse), renderer.lights)
+        renderer.render = lambda c: tuple(
+            np.asarray(x) for x in renderer.render_async(c))
 
     # warm-up (compile)
     fb, rays = renderer.render(cam)
@@ -73,12 +101,65 @@ def main():
         "frame_ms": round(dt * 1000.0, 1),
         "rays_per_frame": int(total_rays / reps),
         "backend": backend,
-        "chips": 1,
+        "chips": n_chips,
+        "sharded": sharded,
         "note": "target 200 Mrays/s is for v5e-8 (8 chips); single-chip parity = vs_baseline*8",
     }
+    if os.environ.get("VKRT_BENCH_GOLDEN", "1") == "1" and not sharded:
+        result.update(golden_check(renderer, texdim))
     if os.environ.get("VKRT_BENCH_REBUILD", "1") == "1" and backend == "dense":
         result.update(rebuild_bench(renderer))
     print(json.dumps(result))
+    # Gate on the outlier-aware metrics (see framebuffer.golden_metrics):
+    # raw RMSE at this size is dominated by a handful of boundary-ray
+    # visibility flips between two independent f32 tracers (measured
+    # ~2e-4 of pixels on hardware); systematic error (the round-2 bf16
+    # class, RMSE 0.104 over broad regions) trips both gates.
+    if (result.get("golden_rmse_trimmed", 0.0) > 1e-3
+            or result.get("golden_flip_frac", 0.0) > 1e-3):
+        print(f"FAIL: golden gate — trimmed RMSE "
+              f"{result.get('golden_rmse_trimmed')} (bar 1e-3), flip_frac "
+              f"{result.get('golden_flip_frac')} (bar 1e-3): the frame is "
+              f"fast but WRONG", file=sys.stderr)
+        sys.exit(1)
+
+
+def golden_check(renderer, texdim):
+    """Correctness gate inside the bench: one small frame at the
+    REFERENCE workload (depth 2, 4 lights) through the production
+    backend ON HARDWARE, compared against the independent native C++
+    oracle. Catches the class of hardware-only numeric bugs (round 2's
+    MXU bf16 attribute truncation, rt/dense.py) that a speed-only bench
+    would reward. f32 framebuffer (the quantized u8 path would add
+    ~1e-3 RMSE of rounding on its own)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vkrt_tpu import config as C
+    from vkrt_tpu.app.camera import Camera
+    from vkrt_tpu.app.framebuffer import golden_metrics
+    from vkrt_tpu.golden import render_golden
+    from vkrt_tpu.scene import build_texture_heap
+    from vkrt_tpu.wavefront.engine import cached_model, render_frame
+
+    cfg = dataclasses.replace(C.reference_config(), width=320, height=240)
+    cam = Camera(cfg.width, cfg.height)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+    fb, _ = render_frame(renderer.backend, renderer.tex,
+                         jnp.asarray(cam.proj_inverse),
+                         jnp.asarray(cam.view_inverse), renderer.lights, cfg)
+    model = cached_model(SCENE, texdim)
+    golden = render_golden(renderer.flat, build_texture_heap(model.images),
+                           cam.proj_inverse, cam.view_inverse, cfg,
+                           accel="native")
+    m = golden_metrics(np.asarray(fb), golden)
+    return {"golden_rmse": round(m["rmse"], 6),
+            "golden_rmse_trimmed": round(m["rmse_trimmed"], 6),
+            "golden_flip_frac": round(m["flip_frac"], 6),
+            "golden_config": "reference workload 320x240 (depth 2, 4 lights)"}
 
 
 def rebuild_bench(renderer):
@@ -114,7 +195,8 @@ def rebuild_bench(renderer):
 
 def kernel_bench():
     """Raw trace-kernel throughput (VKRT_BENCH_MODE=kernel): closest-hit
-    over coherent 720p primary blocks — the number kernel work moves."""
+    over coherent 1280x704 primary blocks (720p rounded down to the
+    16-row tile) — the number kernel work moves."""
     import time
 
     import jax.numpy as jnp
@@ -151,7 +233,7 @@ def kernel_bench():
         _ = float(jnp.sum(jnp.where(jnp.isfinite(r[0]), r[0], 0)))
         best = min(best, (time.perf_counter() - t0) / 5)
     print(json.dumps({
-        "metric": "raw closest-hit kernel Mrays/s (720p coherent primaries)",
+        "metric": "raw closest-hit kernel Mrays/s (1280x704 coherent primaries)",
         "value": round(n / best / 1e6, 2), "unit": "Mrays/s",
         "vs_baseline": round(n / best / 1e6 / 200.0, 4),
         "frame_ms": round(best * 1000, 1),

@@ -97,12 +97,17 @@ def test_determinism(subset):
 
 
 def test_full_scene_dense_backend_vs_native_oracle(sponza_model):
-    """The PRODUCTION dense backend on the PRODUCTION scene: all 103
-    submeshes, shadows on, against the independent native C++ BVH oracle
+    """The PRODUCTION dense backend on the PRODUCTION scene at the
+    REFERENCE workload (depth 2, 4 lights — ref: Raytracer.cpp:26-31,978):
+    all 103 submeshes against the independent native C++ BVH oracle
     (golden/cpu_tracer.py accel="native" exists precisely to make
-    full-scene golden frames tractable). Interpret mode on CPU CI; the
-    same kernel runs compiled on TPU (tools/kernel_bench.py check)."""
-    cfg = dataclasses.replace(C.config2_shadows(), width=128, height=96)
+    full-scene golden frames tractable). This golden-gates the
+    multi-segment shadow kernel (rt/occl_multi.py) and the reflection
+    carry on the production backend + full scene — round 2 ran it at
+    config 2 (1 light, depth 1), which never exercised either. Interpret
+    mode on CPU CI; the same kernel runs compiled on TPU (bench.py
+    golden_rmse gate)."""
+    cfg = dataclasses.replace(C.reference_config(), width=128, height=96)
     flat = flatten_model(sponza_model)
     heap = build_texture_heap(sponza_model.images)
     tex = texture_arrays(sponza_model.images, flat)

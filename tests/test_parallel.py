@@ -36,3 +36,43 @@ def test_mesh_shapes():
     mesh = make_mesh()
     assert mesh.devices.size == 8
     assert mesh.axis_names == ("rays",)
+
+
+def test_sharded_dense_matches_single_device_sponza_subset(sponza_model,
+                                                           sponza_flat):
+    """The PRODUCTION dense/Pallas backend under shard_map on real scene
+    data (a Sponza subset): sharded == single-device. Round-2 gap — every
+    sharded artifact ran the XLA reference backend on a synthetic scene,
+    so whether pallas_call + the argsort prologue compose with a sharded
+    block axis was unproven before hardware."""
+    import dataclasses
+
+    from vkrt_tpu.wavefront.engine import make_backend, texture_arrays
+
+    T = 8192                     # 64 clusters, 1 supercluster
+    flat = dataclasses.replace(
+        sponza_flat,
+        indices=sponza_flat.indices[:T],
+        tri_base_color=sponza_flat.tri_base_color[:T],
+        tri_metallic_roughness=sponza_flat.tri_metallic_roughness[:T],
+        tri_normal=sponza_flat.tri_normal[:T],
+        tri_submesh=sponza_flat.tri_submesh[:T])
+    backend = make_backend(flat, "dense")
+    tex = texture_arrays(sponza_model.images, flat)
+
+    cfg = C.RenderConfig(width=64, height=32, max_depth=2, num_lights=2,
+                         enable_shadows=True, enable_reflections=True)
+    cam = Camera(cfg.width, cfg.height)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+
+    single_fb, single_rays = render_frame(backend, tex, *args, cfg,
+                                          interpret=True)
+    mesh = make_mesh()
+    fb, rays = render_frame_sharded(backend, tex, *args, cfg, mesh,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(single_fb),
+                               atol=1e-5)
+    assert int(np.asarray(rays).sum()) == int(np.asarray(single_rays).sum())

@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard rays across all visible devices (mesh render)")
     p.add_argument("--msaa", type=int, default=8, choices=[1, 8],
                    help="raster-path MSAA sample count")
+    p.add_argument("--rebuild", choices=["refit", "full"], default="refit",
+                   help="per-frame accel update when the config rebuilds "
+                        "(config 5): 'refit' = device AABB refit, 'full' = "
+                        "on-device Morton re-sort rebuild")
     return p
 
 
@@ -122,7 +126,7 @@ def main(argv=None) -> int:
             args.output and args.output.endswith(".npy"))
         renderer = Renderer(args.scene, cfg, backend=args.backend,
                             max_texture_dim=args.max_texture_dim,
-                            quantize=quantize)
+                            quantize=quantize, rebuild=args.rebuild)
 
     start_frame = 0
     if args.checkpoint and os.path.exists(args.checkpoint):

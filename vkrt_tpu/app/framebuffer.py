@@ -34,3 +34,41 @@ def rmse(a: np.ndarray, b: np.ndarray) -> float:
     ca = np.clip(np.asarray(a, dtype=np.float64), 0.0, 1.0)
     cb = np.clip(np.asarray(b, dtype=np.float64), 0.0, 1.0)
     return float(np.sqrt(np.mean((ca - cb) ** 2)))
+
+
+def golden_metrics(a: np.ndarray, b: np.ndarray,
+                   trim: float = 1e-3, flip_thresh: float = 0.1) -> dict:
+    """Outlier-aware golden comparison between two INDEPENDENT tracers.
+
+    Raw RMSE at small resolutions is dominated by binary visibility flips
+    on geometry/shadow-boundary rays: two correct f32 implementations
+    legitimately disagree on exact-boundary hits (TPU FMA contraction
+    rounds MT determinants differently than the C++ oracle). Measured on
+    hardware (round 3, reference workload): flips are 0.8-2e-4 of pixels
+    and carry ~all of the raw RMSE (0.0064 at 128x96 from ONE flipped
+    pixel); everything else sits at the 1e-4 level. So the gate is:
+
+      rmse_trimmed — RMSE excluding the worst `trim` fraction of pixels
+                     (default 0.1% — an order of magnitude above the
+                     measured flip fraction, and far below the footprint
+                     of real breakage: the round-2 MXU bf16 attr
+                     truncation was RMSE 0.104 across broad image
+                     regions, which no 0.1% trim rescues).
+      flip_frac    — fraction of pixels whose max-channel difference
+                     exceeds `flip_thresh`; catches broad visibility or
+                     shading breakage while tolerating isolated
+                     boundary flips.
+
+    Raw rmse is reported alongside for the record."""
+    ca = np.clip(np.asarray(a, dtype=np.float64), 0.0, 1.0)
+    cb = np.clip(np.asarray(b, dtype=np.float64), 0.0, 1.0)
+    sq = ((ca - cb) ** 2).mean(axis=-1)          # per-pixel
+    n = sq.size
+    k = max(1, int(n * (1.0 - trim)))
+    trimmed = np.sort(sq.reshape(-1))[:k]
+    return {
+        "rmse": float(np.sqrt(sq.mean())),
+        "rmse_trimmed": float(np.sqrt(trimmed.mean())),
+        "flip_frac": float((np.abs(ca - cb).max(axis=-1)
+                            > flip_thresh).mean()),
+    }

@@ -139,7 +139,9 @@ def build_material_heap(images: List[Image], triples: np.ndarray) -> MaterialHea
         key = (idx, W, H)
         if key not in chain_cache:
             im = images[idx].data
-            if (im.shape[1], im.shape[0]) != (W, H) and im.max() != im.min():
+            per_channel_const = bool(
+                (im.reshape(-1, im.shape[-1]) == im.reshape(-1, im.shape[-1])[0]).all())
+            if (im.shape[1], im.shape[0]) != (W, H) and not per_channel_const:
                 # resampling a resized non-constant map deviates from the
                 # original's continuous bilinear surface near the source
                 # texel grid; exact only for constant content (Sponza's

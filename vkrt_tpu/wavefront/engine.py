@@ -407,6 +407,7 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
 # shared across Renderer/Rasterizer instances (the axon tunnel moves
 # ~11MB/s — re-uploading the texture heap per instance is minutes).
 _SCENE_CACHE: dict = {}
+_MODEL_CACHE: dict = {}
 
 
 def load_scene_assets(model_path: str, max_texture_dim: int = 0):
@@ -418,7 +419,17 @@ def load_scene_assets(model_path: str, max_texture_dim: int = 0):
         flat = flatten_model(model)
         tex = texture_arrays(model.images, flat)
         _SCENE_CACHE[key] = (flat, tex, {})
+        _MODEL_CACHE[key] = model
     return _SCENE_CACHE[key]
+
+
+def cached_model(model_path: str, max_texture_dim: int = 0):
+    """The loaded Model behind load_scene_assets (same cache key) — for
+    consumers that need raw images (e.g. the bench golden-RMSE gate
+    builds the independent oracle's per-image TextureHeap)."""
+    key = (model_path, max_texture_dim)
+    load_scene_assets(model_path, max_texture_dim)
+    return _MODEL_CACHE[key]
 
 
 def cached_backend(model_path: str, max_texture_dim: int, kind: str):
