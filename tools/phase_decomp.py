@@ -118,7 +118,9 @@ def main():
             "mean_live_sets_in_live_blocks":
                 round(float(nsets[livebl].mean()), 2)}), flush=True)
 
-    for ab in ("", "nosweep", "onlysc"):
+    variants = sys.argv[1:] or ["", "nosweep", "onlysc"]
+    for ab in variants:
+        ab = "" if ab == "full" else ab
         lbl = ab or "full"
         occl_j = jax.jit(functools.partial(occluded_multi, block=1024,
                                            ablate=ab))
@@ -129,6 +131,45 @@ def main():
                 tree, o, d, tm, with_attributes=True, ablate=ab)))
         tmr(f"closest_d0_{lbl}", cl_j, tree, o0, d0, tm0)
         tmr(f"closest_d1_{lbl}", cl_j, tree, o1, d1, tm1)
+
+    if "bigblocks" in sys.argv[1:]:
+        # fixed per-block costs dominate incoherent dispatches — do
+        # LARGER blocks pay at depth 1? (512 was optimal for closest at
+        # depth 0; 2048 regressed for occlusion at depth 0 — d1 untested)
+        cl1k = jax.jit(lambda tree, o, d, tm: trace_dense(
+            tree, o, d, tm, with_attributes=True, block=1024))
+        tmr("closest_d1_b1024", cl1k, tree, o1, d1, tm1)
+        tmr("closest_d0_b1024", cl1k, tree, o0, d0, tm0)
+        oc2k = jax.jit(functools.partial(occluded_multi, block=2048))
+        tmr("occl_d1_b2048", oc2k, tree, lights, sd1, st1)
+
+    if "prod" in sys.argv[1:]:
+        # the production per-depth config: block 1024 + sort for the
+        # coherent depth-0 dispatches, block 512/1024 + no sort at d1
+        oc0 = jax.jit(functools.partial(occluded_multi, block=1024,
+                                        sort=True))
+        oc1 = jax.jit(functools.partial(occluded_multi, block=1024,
+                                        sort=False))
+        tmr("occl_d0_prod", oc0, tree, lights, sd0, st0)
+        tmr("occl_d1_prod", oc1, tree, lights, sd1, st1)
+        c0 = jax.jit(lambda tree, o, d, tm: trace_dense(
+            tree, o, d, tm, with_attributes=True, block=1024))
+        c1 = jax.jit(lambda tree, o, d, tm: trace_dense(
+            tree, o, d, tm, with_attributes=True, sort=False))
+        tmr("closest_d0_prod", c0, tree, o0, d0, tm0)
+        tmr("closest_d1_prod", c1, tree, o1, d1, tm1)
+
+    if "stats" in sys.argv[1:] or not sys.argv[1:]:
+        # emitted (work-list) and swept cluster counts per dispatch
+        st_j = jax.jit(lambda tree, o, d, tm: trace_dense(
+            tree, o, d, tm, with_attributes=True, stats=True)[-1])
+        for nm, (o_, d_, tm_) in (("closest_d0", (o0, d0, tm0)),
+                                  ("closest_d1", (o1, d1, tm1))):
+            s = np.asarray(st_j(tree, o_, d_, tm_))
+            print(json.dumps({
+                "stats": nm,
+                "emitted_total": int(s[:, 0].sum()),
+                "swept_total": int(s[:, 1].sum())}), flush=True)
 
 
 if __name__ == "__main__":

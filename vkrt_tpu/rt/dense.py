@@ -76,7 +76,8 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                   tris, sem, gated, tlb, started, nlist,
                   counters, sc_mask, btmax, t_s, slot_s, u_s, v_s, attr_s,
                   *, n_sc: int, occlusion: bool, with_attributes: bool,
-                  stats: bool, point_origin: bool, approx_recip: bool):
+                  stats: bool, point_origin: bool, approx_recip: bool,
+                  sort: bool = True, ablate: str = ""):
     R = d_ref.shape[-1]           # rays per block, on lanes
     NBUF = sem.shape[0]           # per-cluster DMA pipeline depth
     K1 = tris.shape[1]            # triangles per cluster (from the build)
@@ -281,11 +282,26 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
 
                 jax.lax.while_loop(lambda m: m != 0, body, mask0)
 
-            word_emit(0, cl_lo)
-            word_emit(32, cl_hi)
+            if ablate == "noemit":
+                # probe-only: consume the gate words without the scalar
+                # emission loops (isolates vector box-test cost; Mosaic
+                # would DCE an unconsumed prepass). count stays 0 so the
+                # sort/DMA/sweep stages all skip.
+                counters[0] = counters[0] ^ cl_lo ^ cl_hi
+            else:
+                word_emit(0, cl_lo)
+                word_emit(32, cl_hi)
         return 0
 
-    jax.lax.fori_loop(0, n_sc, pre_body, 0)
+    # ablate (probe-only, tools/phase_decomp.py): "onlysc" stops after the
+    # supercluster mask (launch + sc-pass cost); "noemit" runs the box
+    # tests but skips the scalar emission loops; "nodma_nosort" emits but
+    # skips sort+DMA+sweeps; "nodma" adds the sort back; "nosweep" runs
+    # everything but the MT sweeps. Production always passes "".
+    if ablate == "onlysc":
+        nlist[0] = 0
+    else:
+        jax.lax.fori_loop(0, n_sc, pre_body, 0)
     count = nlist[0]
     if stats:
         counters[0] = count
@@ -293,8 +309,11 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     # Insertion-sort the work list by conservative t lower bound (scalar,
     # SMEM): visiting strictly nearest-first shrinks btmax as early as
     # possible, so far clusters get pruned before their DMA is even
-    # issued. n is ~10-40 per block — O(n^2) scalar work is ~2us against
-    # the multi-sweep savings.
+    # issued. Worth it ONLY for coherent depth-0 dispatches: at depth>=1
+    # the lists are long (~42 clusters) and scattered rays barely shrink
+    # btmax, so the O(n^2) scalar sort costs more than it saves (measured
+    # round 3: occl_d1 271→252 ms, closest_d1 149→125 ms with sort off;
+    # depth 0 regresses without it). Callers pass sort=(depth==0).
     def ins_body(i, _):
         key_t = tlb[i]
         key_g = gated[i]
@@ -312,7 +331,8 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         gated[j] = key_g
         return 0
 
-    jax.lax.fori_loop(1, count, ins_body, 0)
+    if sort and ablate not in ("nodma_nosort", "nosort"):
+        jax.lax.fori_loop(1, count, ins_body, 0)
 
     def cluster_dmas(i, slot):
         """The per-cluster copies (a list so further per-cluster streams
@@ -325,40 +345,45 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     # issue decision itself may depend on the moving btmax: the decision
     # is RECORDED in started[j] at issue time and the wait reads the same
     # flag — start and wait always agree.
-    for j in range(NBUF - 1):
-        @pl.when(j < count)
-        def _(j=j):
-            started[j] = 1
-            for dma in cluster_dmas(j, j % NBUF):
-                dma.start()
-
-    def cl_body(i, _):
-        j = i + NBUF - 1
-
-        @pl.when(j < count)
-        def _():
-            go = tlb[j] < btmax[0]            # issue-time scalar prune
-            started[j] = go.astype(jnp.int32)
-
-            @pl.when(go)
-            def _():
-                for dma in cluster_dmas(j, jax.lax.rem(j, NBUF)):
+    if ablate in ("nodma", "nodma_nosort"):
+        # prepass(+sort) only: skip the DMA pipeline and sweeps entirely
+        pass
+    else:
+        for j in range(NBUF - 1):
+            @pl.when(j < count)
+            def _(j=j):
+                started[j] = 1
+                for dma in cluster_dmas(j, j % NBUF):
                     dma.start()
 
-        @pl.when(started[i] == 1)
-        def _():
-            slot = jax.lax.rem(i, NBUF)
-            for dma in cluster_dmas(i, slot):
-                dma.wait()
+        def cl_body(i, _):
+            j = i + NBUF - 1
 
-            @pl.when(tlb[i] < btmax[0])       # sweep-time scalar prune
+            @pl.when(j < count)
             def _():
-                if stats:
-                    counters[1] = counters[1] + 1
-                tri_block(slot, gated[i])
-        return 0
+                go = tlb[j] < btmax[0]            # issue-time scalar prune
+                started[j] = go.astype(jnp.int32)
 
-    jax.lax.fori_loop(0, count, cl_body, 0)
+                @pl.when(go)
+                def _():
+                    for dma in cluster_dmas(j, jax.lax.rem(j, NBUF)):
+                        dma.start()
+
+            @pl.when(started[i] == 1)
+            def _():
+                slot = jax.lax.rem(i, NBUF)
+                for dma in cluster_dmas(i, slot):
+                    dma.wait()
+
+                @pl.when(tlb[i] < btmax[0])       # sweep-time scalar prune
+                def _():
+                    if stats:
+                        counters[1] = counters[1] + 1
+                    if ablate != "nosweep":
+                        tri_block(slot, gated[i])
+            return 0
+
+        jax.lax.fori_loop(0, count, cl_body, 0)
 
     # outputs are already lane-major [1,R] — plain copies, no relayout
     t_out[0] = t_s[:]
@@ -377,7 +402,8 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                 block: int = 512, occlusion: bool = False,
                 with_attributes: bool = False, interpret: bool = False,
                 stats: bool = False, point_origin: bool = False,
-                approx_recip: bool = True):
+                approx_recip: bool = True, sort: bool = True,
+                ablate: str = ""):
     """Trace rays against the cluster tree (lane-major I/O).
 
     origins/dirs: f32[3, Nb, 128]; tmax: f32[Nb, 128]. N = Nb*128 must be
@@ -411,17 +437,18 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                         with_attributes=with_attributes,
                         interpret=interpret, stats=stats,
                         point_origin=point_origin,
-                        approx_recip=approx_recip)
+                        approx_recip=approx_recip, sort=sort, ablate=ablate)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "occlusion",
                                              "with_attributes", "interpret",
                                              "stats", "point_origin",
-                                             "approx_recip"))
+                                             "approx_recip", "sort",
+                                             "ablate"))
 def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                  block: int, occlusion: bool, with_attributes: bool,
                  interpret: bool, stats: bool, point_origin: bool,
-                 approx_recip: bool):
+                 approx_recip: bool, sort: bool = True, ablate: str = ""):
     nb = dirs.shape[1]
     N = nb * LANES
     assert N % block == 0, f"ray count {N} not a multiple of block {block}"
@@ -466,7 +493,8 @@ def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     kernel = functools.partial(_trace_kernel, n_sc=n_sc, occlusion=occlusion,
                                with_attributes=with_attributes, stats=stats,
                                point_origin=point_origin,
-                               approx_recip=approx_recip)
+                               approx_recip=approx_recip, sort=sort,
+                               ablate=ablate)
     grid = (nblocks,)
     attr_rows = 36 if with_attributes else 1
     # Ray I/O rides as [·, nblocks, 1, block] — a free reshape of the

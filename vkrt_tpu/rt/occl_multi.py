@@ -43,7 +43,8 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                        occ_out,
                        # scratch
                        tris, sem, gated, tlb, smask, started, nlist, sc_mask,
-                       btmax, *t_s, n_sc: int, ns: int):
+                       btmax, *t_s, n_sc: int, ns: int, sort: bool = True,
+                       ablate: str = ""):
     R = d_ref.shape[-1]
     NBUF = sem.shape[0]
     K1 = tris.shape[1]
@@ -191,11 +192,22 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
 
                 jax.lax.while_loop(lambda m: m != 0, body, mask0)
 
-            word_emit(0, cl_lo)
-            word_emit(32, cl_hi)
+            if ablate == "noemit":
+                # probe-only (see dense.py): consume every prepass
+                # product without the scalar emission loops
+                started[0] = started[0] ^ cl_lo ^ cl_hi
+                tlb[0] = jnp.sum(entry_min)
+                gated[0] = jnp.sum(setbits)
+            else:
+                word_emit(0, cl_lo)
+                word_emit(32, cl_hi)
         return 0
 
-    jax.lax.fori_loop(0, n_sc, pre_body, 0)
+    # ablate: probe-only phase decomposition (see rt/dense.py)
+    if ablate == "onlysc":
+        nlist[0] = 0
+    else:
+        jax.lax.fori_loop(0, n_sc, pre_body, 0)
     count = nlist[0]
 
     def ins_body(i, _):
@@ -218,7 +230,10 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         smask[j] = key_m
         return 0
 
-    jax.lax.fori_loop(1, count, ins_body, 0)
+    # sort=(depth==0): see rt/dense.py — nearest-first pays only for
+    # coherent dispatches (occl_d1 271→252 ms with the sort skipped)
+    if sort and ablate not in ("nodma_nosort", "nosort"):
+        jax.lax.fori_loop(1, count, ins_body, 0)
 
     def any_live():
         m = btmax[0]
@@ -230,44 +245,51 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         return pltpu.make_async_copy(tri_hbm.at[gated[i]], tris.at[slot],
                                      sem.at[slot])
 
-    for j in range(NBUF - 1):
-        @pl.when(j < count)
-        def _(j=j):
-            started[j] = 1
-            cluster_dma(j, j % NBUF).start()
+    if ablate in ("nodma", "nodma_nosort"):
+        pass
+    else:
+        for j in range(NBUF - 1):
+            @pl.when(j < count)
+            def _(j=j):
+                started[j] = 1
+                cluster_dma(j, j % NBUF).start()
 
-    def cl_body(i, _):
-        j = i + NBUF - 1
+        def cl_body(i, _):
+            j = i + NBUF - 1
 
-        @pl.when(j < count)
-        def _():
-            go = tlb[j] < any_live()
-            started[j] = go.astype(jnp.int32)
-
-            @pl.when(go)
+            @pl.when(j < count)
             def _():
-                cluster_dma(j, jax.lax.rem(j, NBUF)).start()
+                go = tlb[j] < any_live()
+                started[j] = go.astype(jnp.int32)
 
-        @pl.when(started[i] == 1)
-        def _():
-            slot = jax.lax.rem(i, NBUF)
-            cluster_dma(i, slot).wait()
+                @pl.when(go)
+                def _():
+                    cluster_dma(j, jax.lax.rem(j, NBUF)).start()
 
-            @pl.when(tlb[i] < any_live())
+            @pl.when(started[i] == 1)
             def _():
-                for s in range(ns):
-                    @pl.when(((jax.lax.shift_right_logical(smask[i], s) & 1)
-                              == 1) & (tlb[i] < btmax[s]))
-                    def _(s=s):
-                        tri_block(slot, s)
-        return 0
+                slot = jax.lax.rem(i, NBUF)
+                cluster_dma(i, slot).wait()
 
-    jax.lax.fori_loop(0, count, cl_body, 0)
+                @pl.when(tlb[i] < any_live())
+                def _():
+                    if ablate != "nosweep":
+                        for s in range(ns):
+                            @pl.when(((jax.lax.shift_right_logical(
+                                       smask[i], s) & 1) == 1)
+                                     & (tlb[i] < btmax[s]))
+                            def _(s=s):
+                                tri_block(slot, s)
+            return 0
+
+        jax.lax.fori_loop(0, count, cl_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "sort",
+                                             "ablate"))
 def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
-                   block: int = 512, interpret: bool = False):
+                   block: int = 512, interpret: bool = False,
+                   sort: bool = True, ablate: str = ""):
     """NS-segment-set occlusion trace.
 
     light_pts: f32[NS, 3] — one origin point per segment set (shared by
@@ -317,7 +339,8 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
         [sc_order, jnp.full((nblocks, order_w - n_sc), -1, jnp.int32)],
         axis=1).reshape(nblocks, 1, order_w)
 
-    kernel = functools.partial(_occl_multi_kernel, n_sc=n_sc, ns=ns)
+    kernel = functools.partial(_occl_multi_kernel, n_sc=n_sc, ns=ns,
+                               sort=sort, ablate=ablate)
     d_k = dirs.reshape(ns * 3, nblocks, 1, block)
     tmax_k = tmax.reshape(ns, nblocks, 1, block)
     out_shape = jax.ShapeDtypeStruct((ns, nblocks, 1, block), jnp.int32)

@@ -148,10 +148,11 @@ class DenseBackend(NamedTuple):
     """Pallas cluster kernel; attributes selected inside the trace."""
     tree: object  # ClusterTree
 
-    def closest(self, o, d, tmax, interpret=False):
+    def closest(self, o, d, tmax, interpret=False, block=BLOCK, sort=True):
         from vkrt_tpu.rt.dense import trace_dense
         t, slot, u, v, attrs = trace_dense(
-            self.tree, o, d, tmax, with_attributes=True, interpret=interpret)
+            self.tree, o, d, tmax, with_attributes=True, interpret=interpret,
+            block=block, sort=sort)
         return t, u, v, attrs, slot >= 0
 
     def occluded(self, o, d, tmax, interpret=False):
@@ -179,7 +180,7 @@ class DenseBackend(NamedTuple):
     # per (cluster, light) via a segment-set bitmask. Measured 197 vs
     # 215 ms (4-light 1080p shadow pass) over per-light dispatches.
     def occluded_multi(self, light_pts, sd, st, interpret=False,
-                       block=BLOCK):
+                       block=BLOCK, sort=True):
         import os
         if os.environ.get("VKRT_NO_MULTI_OCCL"):   # bisect escape hatch
             outs = []
@@ -191,7 +192,7 @@ class DenseBackend(NamedTuple):
             return jnp.stack(outs)
         from vkrt_tpu.rt.occl_multi import occluded_multi
         return occluded_multi(self.tree, light_pts, sd, st, block=block,
-                              interpret=interpret)
+                              interpret=interpret, sort=sort)
 
 
 class ReferenceBackend(NamedTuple):
@@ -199,7 +200,7 @@ class ReferenceBackend(NamedTuple):
     bvh: object            # BVH2
     attr_table: jax.Array  # f32[T,36] per-triangle corner attrs (original order)
 
-    def closest(self, o, d, tmax, interpret=False):
+    def closest(self, o, d, tmax, interpret=False, block=BLOCK, sort=True):
         from vkrt_tpu.rt.traverse import trace_closest
         of, df = L.from_cvec(o), L.from_cvec(d)
         t, tri, u, v = trace_closest(self.bvh, of, df, C.RAY_TMIN,
@@ -222,7 +223,7 @@ class ReferenceBackend(NamedTuple):
                              interpret)
 
     def occluded_multi(self, light_pts, sd, st, interpret=False,
-                       block=BLOCK):
+                       block=BLOCK, sort=True):
         outs = []
         for s in range(light_pts.shape[0]):
             o = jnp.broadcast_to(light_pts[s][:, None, None], sd[s].shape)
@@ -304,8 +305,17 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
         # cost one box sweep
         with jax.named_scope(f"trace_closest_d{_depth}"):
             tmax = jnp.where(active, C.RAY_TMAX, 0.0)
+            # depth-0 closest (coherent camera tiles) prefers 1024-ray
+            # blocks: halved per-block fixed costs beat the slightly
+            # wider cone (92.9 → 81.3 ms at 1080p, round 3). Depth>=1
+            # reflection cones are wide — 1024 measured 149 → 178 ms —
+            # so secondary depths stay at BLOCK.
+            cblk = (1024 if _depth == 0 and (nb * L.LANES) % 1024 == 0
+                    else BLOCK)
             t, u, v, attrs, hitm = backend.closest(origins, dirs, tmax,
-                                                   interpret=interpret)
+                                                   interpret=interpret,
+                                                   block=cblk,
+                                                   sort=_depth == 0)
         ray_count = ray_count + active.astype(jnp.int32)
         hit = hitm & active
         miss = active & ~hitm
@@ -368,7 +378,8 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                      for c, g in zip(casts, geo)])
                 occ_all = backend.occluded_multi(lights, sd, st,
                                                  interpret=interpret,
-                                                 block=oblk)
+                                                 block=oblk,
+                                                 sort=_depth == 0)
             occs = list(occ_all)
             for c in casts:
                 ray_count = ray_count + c.astype(jnp.int32)
