@@ -75,12 +75,15 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                   # scratch
                   tris, sem, gated, tlb, started, nlist,
                   counters, sc_mask, btmax, t_s, slot_s, u_s, v_s, attr_s,
+                  gmask, btmaxg,
                   *, n_sc: int, occlusion: bool, with_attributes: bool,
                   stats: bool, point_origin: bool, approx_recip: bool,
-                  sort: bool = True, ablate: str = ""):
+                  sort: bool = True, group_gate: bool = False,
+                  ablate: str = ""):
     R = d_ref.shape[-1]           # rays per block, on lanes
     NBUF = sem.shape[0]           # per-cluster DMA pipeline depth
     K1 = tris.shape[1]            # triangles per cluster (from the build)
+    G = R // LANES                # 128-lane ray groups per block
 
     if point_origin:
         # the whole block shares ONE origin point (primary rays: the
@@ -100,6 +103,9 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     u_s[:] = jnp.zeros((1, R), jnp.float32)
     v_s[:] = jnp.zeros((1, R), jnp.float32)
     btmax[0] = jnp.max(tmax)
+    if group_gate:
+        for g in range(G):
+            btmaxg[g] = jnp.max(tmax[:, g * LANES:(g + 1) * LANES])
     nlist[0] = 0
     if with_attributes:
         attr_s[:] = jnp.zeros_like(attr_s)
@@ -129,27 +135,53 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                          jnp.maximum(t0z, t1z))
         hit = (tn <= tf) & (tf >= TMIN) & (tn <= t_s[:]) & (t_s[:] > TMIN)
         entry = jnp.min(jnp.where(hit, tn, _INF), axis=1, keepdims=True)
-        return jnp.any(hit, axis=1, keepdims=True), entry
+        return jnp.any(hit, axis=1, keepdims=True), entry, hit
 
-    def tri_block(slot, base_slot):
-        """Möller–Trumbore: all R rays (lanes) against the 128 tris
+    def tri_block(slot, base_slot, g=None):
+        """Möller–Trumbore: R rays (lanes) against the 128 tris
         (sublanes) of pipeline buffer `slot`; base_slot = global cluster
-        id. All products are [K1, R]."""
+        id. All products are [K1, R]. With group_gate, g selects ONE
+        128-lane ray group (static slice): products shrink to [K1,128]
+        and only that group's state is read/committed — depth>=1 blocks
+        mix converged rows with live rows whose directions span a wide
+        cone, so ~half the whole-block sweep lanes never gate the
+        cluster (tools/rowgate_sim.py: gating-row/row ratio 0.51-0.64
+        at depth 1 vs 0.95 at coherent depth 0)."""
+        sl = slice(None) if g is None else slice(g * LANES, (g + 1) * LANES)
+        Rg = R if g is None else LANES
+        if g is None:
+            dxg, dyg, dzg = dx, dy, dz
+            oxg, oyg, ozg = ox, oy, oz
+        else:
+            # per-group operands are FRESH tile-aligned ref loads: a lane
+            # slice of an already-loaded [1,R] value carries a lane-offset
+            # layout Mosaic cannot broadcast against [K1,1] operands
+            # ("Invalid input layout" on vector.broadcast, measured)
+            dxg = d_ref[0, 0, :, sl]
+            dyg = d_ref[1, 0, :, sl]
+            dzg = d_ref[2, 0, :, sl]
+            if point_origin:
+                oxg, oyg, ozg = ox, oy, oz           # SMEM scalars
+            else:
+                oxg = o_ref[0, 0, :, sl]
+                oyg = o_ref[1, 0, :, sl]
+                ozg = o_ref[2, 0, :, sl]
+        tsg = t_s[:, sl]
         chunk = tris[slot]                            # [K1, ROWS]
         v0x, v0y, v0z = chunk[:, 0:1], chunk[:, 1:2], chunk[:, 2:3]
         e1x, e1y, e1z = chunk[:, 3:4], chunk[:, 4:5], chunk[:, 5:6]
         e2x, e2y, e2z = chunk[:, 6:7], chunk[:, 7:8], chunk[:, 8:9]
 
-        hx = dy * e2z - dz * e2y              # [K1,R]
-        hy = dz * e2x - dx * e2z
-        hz = dx * e2y - dy * e2x
+        hx = dyg * e2z - dzg * e2y            # [K1,Rg]
+        hy = dzg * e2x - dxg * e2z
+        hz = dxg * e2y - dyg * e2x
         det = e1x * hx + e1y * hy + e1z * hz
-        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        sx, sy, sz = oxg - v0x, oyg - v0y, ozg - v0z
         up = sx * hx + sy * hy + sz * hz
         qx = sy * e1z - sz * e1y
         qy = sz * e1x - sx * e1z
         qz = sx * e1y - sy * e1x
-        vp = dx * qx + dy * qy + dz * qz
+        vp = dxg * qx + dyg * qy + dzg * qz
         tp = e2x * qx + e2y * qy + e2z * qz
         adet = jnp.abs(det)
 
@@ -161,13 +193,15 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
             su, sv, st = up * sgn, vp * sgn, tp * sgn
             ok = ((adet > _DET_EPS) & (su >= 0) & (sv >= 0)
                   & (su + sv <= adet) & (st > TMIN * adet)
-                  & (st < t_s[:] * adet))
-            anyhit = jnp.any(ok, axis=0, keepdims=True)   # [1,R]
+                  & (st < tsg * adet))
+            anyhit = jnp.any(ok, axis=0, keepdims=True)   # [1,Rg]
             @pl.when(jnp.any(anyhit))
             def _():
-                slot_s[:] = jnp.where(anyhit, 1, slot_s[:])
-                t_s[:] = jnp.where(anyhit, TMIN, t_s[:])  # culls later gates
-                btmax[0] = jnp.max(t_s[:])
+                slot_s[:, sl] = jnp.where(anyhit, 1, slot_s[:, sl])
+                t_s[:, sl] = jnp.where(anyhit, TMIN, t_s[:, sl])
+                btmax[0] = jnp.max(t_s[:])    # culls later gates
+                if group_gate and g is not None:
+                    btmaxg[g] = jnp.max(t_s[:, sl])
             return
 
         safe_det = jnp.where(det == 0, 1.0, det)
@@ -183,24 +217,27 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         vv = vp * inv_det
         tt = tp * inv_det
         ok = ((adet > _DET_EPS) & (uu >= 0) & (vv >= 0)
-              & (uu + vv <= 1) & (tt > TMIN) & (tt < t_s[:]))
+              & (uu + vv <= 1) & (tt > TMIN) & (tt < tsg))
 
-        tm = jnp.min(jnp.where(ok, tt, _INF), axis=0, keepdims=True)  # [1,R]
-        better = tm < t_s[:]
+        tm = jnp.min(jnp.where(ok, tt, _INF), axis=0, keepdims=True)  # [1,Rg]
+        better = tm < tsg
 
         @pl.when(jnp.any(better))
         def _():
-            subl = jax.lax.broadcasted_iota(jnp.int32, (K1, R), 0)
+            subl = jax.lax.broadcasted_iota(jnp.int32, (K1, Rg), 0)
             eq = ok & (tt == tm)
             tri_sel = jnp.min(jnp.where(eq, subl, K1), axis=0, keepdims=True)
-            onehot = subl == tri_sel          # [K1,R], one tri per better ray
+            onehot = subl == tri_sel          # [K1,Rg], one tri per better ray
             u_sel = jnp.sum(jnp.where(onehot, uu, 0.0), axis=0, keepdims=True)
             v_sel = jnp.sum(jnp.where(onehot, vv, 0.0), axis=0, keepdims=True)
-            t_s[:] = jnp.where(better, tm, t_s[:])
+            t_s[:, sl] = jnp.where(better, tm, t_s[:, sl])
             btmax[0] = jnp.max(t_s[:])
-            slot_s[:] = jnp.where(better, base_slot * K1 + tri_sel, slot_s[:])
-            u_s[:] = jnp.where(better, u_sel, u_s[:])
-            v_s[:] = jnp.where(better, v_sel, v_s[:])
+            if group_gate and g is not None:
+                btmaxg[g] = jnp.max(t_s[:, sl])
+            slot_s[:, sl] = jnp.where(better, base_slot * K1 + tri_sel,
+                                      slot_s[:, sl])
+            u_s[:, sl] = jnp.where(better, u_sel, u_s[:, sl])
+            v_s[:, sl] = jnp.where(better, v_sel, v_s[:, sl])
             if with_attributes:
                 # all 36 shading attributes of each ray's winning tri in
                 # ONE MXU matmul: attrs[K1,36]ᵀ·onehot[K1,R] → [36,R]
@@ -216,7 +253,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-                attr_s[:] = jnp.where(better, sel, attr_s[:])
+                attr_s[:, sl] = jnp.where(better, sel, attr_s[:, sl])
 
     # One dense pass over ALL supercluster boxes → multi-word scalar
     # bitmask in SMEM (32 superclusters per i32 word — scenes of any size,
@@ -224,8 +261,8 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     # This is the coarse (t-unaware) cull; the per-supercluster recheck
     # below implements early termination as t_s shrinks.
     scb = jnp.swapaxes(sc_ref[:], 0, 1)       # [C2p, 8]: boxes → sublanes
-    sc_hits, _ = slab_entry(scb[:, 0:1], scb[:, 1:2], scb[:, 2:3],
-                            scb[:, 3:4], scb[:, 4:5], scb[:, 5:6])
+    sc_hits, _, _ = slab_entry(scb[:, 0:1], scb[:, 1:2], scb[:, 2:3],
+                               scb[:, 3:4], scb[:, 4:5], scb[:, 5:6])
     sc_sub = jax.lax.broadcasted_iota(jnp.int32, sc_hits.shape, 0)
     sc_w = jnp.left_shift(jnp.int32(1), sc_sub & 31)
     n_words = sc_mask.shape[0]
@@ -260,12 +297,24 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         @pl.when((s >= 0) & test_sc(s))
         def _():
             cb = jnp.swapaxes(cl_ref[s], 0, 1)    # [K2, 8]
-            cl_any, entry = slab_entry(cb[:, 0:1], cb[:, 1:2], cb[:, 2:3],
-                                       cb[:, 3:4], cb[:, 4:5], cb[:, 5:6])
+            cl_any, entry, cl_hit = slab_entry(
+                cb[:, 0:1], cb[:, 1:2], cb[:, 2:3],
+                cb[:, 3:4], cb[:, 4:5], cb[:, 5:6])
             # entry = per-cluster conservative t lower bound (min slab tn
             # over hitting rays); 0.9999 guards f32 rounding of tn so the
             # prune can never discard a boundary hit
             good = cl_any & (entry < btmax[0])    # [K2,1]
+            if group_gate:
+                # per-cluster word of WHICH 128-lane ray groups gate it
+                # (the sweep loop skips non-gating groups); G lane-slice
+                # any-reduces over the already-computed hit matrix (each
+                # reads 1/G of the matrix — the masked-iota form read the
+                # FULL matrix per group, G× the prepass cost)
+                gword = jnp.zeros_like(cl_sub)
+                for g in range(G):
+                    any_g = jnp.any(cl_hit[:, g * LANES:(g + 1) * LANES],
+                                    axis=1, keepdims=True)
+                    gword = gword | jnp.where(any_g, jnp.int32(1 << g), 0)
             w_bits = jnp.left_shift(jnp.int32(1), cl_sub & 31)
             cl_lo = jnp.sum(jnp.where(good & (cl_sub < 32), w_bits, 0))
             cl_hi = jnp.sum(jnp.where(good & (cl_sub >= 32), w_bits, 0))
@@ -277,6 +326,9 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                     gated[cnt] = s * K2 + c
                     tlb[cnt] = 0.9999 * jnp.sum(
                         jnp.where(cl_sub == c, entry, 0.0))
+                    if group_gate:
+                        gmask[cnt] = jnp.sum(
+                            jnp.where(cl_sub == c, gword, 0))
                     nlist[0] = cnt + 1
                     return m & (m - 1)
 
@@ -317,6 +369,8 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     def ins_body(i, _):
         key_t = tlb[i]
         key_g = gated[i]
+        if group_gate:
+            key_m = gmask[i]
 
         def shift_cond(j):
             return jnp.logical_and(j > 0, tlb[j - 1] > key_t)
@@ -324,11 +378,15 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
         def shift_body(j):
             tlb[j] = tlb[j - 1]
             gated[j] = gated[j - 1]
+            if group_gate:
+                gmask[j] = gmask[j - 1]
             return j - 1
 
         j = jax.lax.while_loop(shift_cond, shift_body, i)
         tlb[j] = key_t
         gated[j] = key_g
+        if group_gate:
+            gmask[j] = key_m
         return 0
 
     if sort and ablate not in ("nodma_nosort", "nosort"):
@@ -380,7 +438,19 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                     if stats:
                         counters[1] = counters[1] + 1
                     if ablate != "nosweep":
-                        tri_block(slot, gated[i])
+                        if group_gate:
+                            gm = gmask[i]
+                            for g in range(G):
+                                # per-group gate bit + per-group btmax
+                                # prune (converged subtiles stop paying
+                                # for far clusters — VERDICT r2 item 5)
+                                @pl.when(((jax.lax.shift_right_logical(
+                                           gm, g) & 1) == 1)
+                                         & (tlb[i] < btmaxg[g]))
+                                def _(g=g):
+                                    tri_block(slot, gated[i], g)
+                        else:
+                            tri_block(slot, gated[i])
             return 0
 
         jax.lax.fori_loop(0, count, cl_body, 0)
@@ -403,7 +473,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                 with_attributes: bool = False, interpret: bool = False,
                 stats: bool = False, point_origin: bool = False,
                 approx_recip: bool = True, sort: bool = True,
-                ablate: str = ""):
+                group_gate: bool = False, ablate: str = ""):
     """Trace rays against the cluster tree (lane-major I/O).
 
     origins/dirs: f32[3, Nb, 128]; tmax: f32[Nb, 128]. N = Nb*128 must be
@@ -437,18 +507,20 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                         with_attributes=with_attributes,
                         interpret=interpret, stats=stats,
                         point_origin=point_origin,
-                        approx_recip=approx_recip, sort=sort, ablate=ablate)
+                        approx_recip=approx_recip, sort=sort,
+                        group_gate=group_gate, ablate=ablate)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "occlusion",
                                              "with_attributes", "interpret",
                                              "stats", "point_origin",
                                              "approx_recip", "sort",
-                                             "ablate"))
+                                             "group_gate", "ablate"))
 def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                  block: int, occlusion: bool, with_attributes: bool,
                  interpret: bool, stats: bool, point_origin: bool,
-                 approx_recip: bool, sort: bool = True, ablate: str = ""):
+                 approx_recip: bool, sort: bool = True,
+                 group_gate: bool = False, ablate: str = ""):
     nb = dirs.shape[1]
     N = nb * LANES
     assert N % block == 0, f"ray count {N} not a multiple of block {block}"
@@ -494,7 +566,7 @@ def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                                with_attributes=with_attributes, stats=stats,
                                point_origin=point_origin,
                                approx_recip=approx_recip, sort=sort,
-                               ablate=ablate)
+                               group_gate=group_gate, ablate=ablate)
     grid = (nblocks,)
     attr_rows = 36 if with_attributes else 1
     # Ray I/O rides as [·, nblocks, 1, block] — a free reshape of the
@@ -559,6 +631,8 @@ def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
             pltpu.VMEM((1, block), jnp.float32),          # u state
             pltpu.VMEM((1, block), jnp.float32),          # v state
             pltpu.VMEM((attr_rows, block), jnp.float32),  # attr state
+            pltpu.SMEM((maxc,), jnp.int32),               # ray-group words
+            pltpu.SMEM((block // LANES,), jnp.float32),   # per-group max-t
         ],
         interpret=interpret,
     )(sc_order, tree.sc_boxes, tree.cl_boxes, o_k, d_k, tmax_k,

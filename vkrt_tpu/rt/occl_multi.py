@@ -43,11 +43,16 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                        occ_out,
                        # scratch
                        tris, sem, gated, tlb, smask, started, nlist, sc_mask,
-                       btmax, *t_s, n_sc: int, ns: int, sort: bool = True,
+                       btmax, btmaxg, *t_s, n_sc: int, ns: int,
+                       sort: bool = True, group_gate: bool = False,
                        ablate: str = ""):
     R = d_ref.shape[-1]
     NBUF = sem.shape[0]
     K1 = tris.shape[1]
+    G = R // 128                  # 128-lane ray groups per block
+    if group_gate:
+        # per-(set, group) gate bits must fit the per-cluster smask word
+        assert ns * G <= 32, (ns, G)
 
     # per-set origin scalars + direction rows + inverse dirs
     oxs = [o_ref[s, 0] for s in range(ns)]
@@ -63,6 +68,10 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
     for s in range(ns):
         t_s[s][:] = tmax_ref[s, 0]                 # [1,R]
         btmax[s] = jnp.max(tmax_ref[s, 0])
+        if group_gate:
+            for g in range(G):
+                btmaxg[s * G + g] = jnp.max(
+                    tmax_ref[s, 0, :, g * 128:(g + 1) * 128])
         # blocked is tracked EXPLICITLY (occ_out written at hit-commit
         # time), not inferred from t_s afterwards: a live ray with
         # 0 < tmax <= TMIN (light within ~2*RAY_TMIN of the surface)
@@ -90,15 +99,26 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         ts = t_s[s][:]
         hit = (tn <= tf) & (tf >= TMIN) & (tn <= ts) & (ts > TMIN)
         entry = jnp.min(jnp.where(hit, tn, _INF), axis=1, keepdims=True)
-        return jnp.any(hit, axis=1, keepdims=True), entry
+        return jnp.any(hit, axis=1, keepdims=True), entry, hit
 
-    def tri_block(slot, s):
-        """Division-free any-hit MT of set s vs pipeline buffer `slot`."""
+    def tri_block(slot, s, g=None):
+        """Division-free any-hit MT of set s vs pipeline buffer `slot`.
+        With group_gate, g selects ONE 128-lane ray group; per-group
+        operands are FRESH tile-aligned ref loads (a lane slice of an
+        already-loaded [1,R] value carries a lane-offset layout Mosaic
+        cannot broadcast against [K1,1] operands — see rt/dense.py)."""
+        sl = slice(None) if g is None else slice(g * 128, (g + 1) * 128)
         chunk = tris[slot]
         v0x, v0y, v0z = chunk[:, 0:1], chunk[:, 1:2], chunk[:, 2:3]
         e1x, e1y, e1z = chunk[:, 3:4], chunk[:, 4:5], chunk[:, 5:6]
         e2x, e2y, e2z = chunk[:, 6:7], chunk[:, 7:8], chunk[:, 8:9]
-        dx, dy, dz = dxs[s], dys[s], dzs[s]
+        if g is None:
+            dx, dy, dz = dxs[s], dys[s], dzs[s]
+        else:
+            dx = d_ref[s * 3 + 0, 0, :, sl]
+            dy = d_ref[s * 3 + 1, 0, :, sl]
+            dz = d_ref[s * 3 + 2, 0, :, sl]
+        tsg = t_s[s][:, sl]
 
         hx = dy * e2z - dz * e2y
         hy = dz * e2x - dx * e2z
@@ -116,22 +136,24 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         su, sv, st = up * sgn, vp * sgn, tp * sgn
         ok = ((adet > _DET_EPS) & (su >= 0) & (sv >= 0)
               & (su + sv <= adet) & (st > TMIN * adet)
-              & (st < t_s[s][:] * adet))
-        anyhit = jnp.any(ok, axis=0, keepdims=True)             # [1,R]
+              & (st < tsg * adet))
+        anyhit = jnp.any(ok, axis=0, keepdims=True)             # [1,Rg]
 
         @pl.when(jnp.any(anyhit))
         def _():
-            occ_out[s, 0] = jnp.where(anyhit, 1, occ_out[s, 0])
+            occ_out[s, 0, :, sl] = jnp.where(anyhit, 1, occ_out[s, 0, :, sl])
             # t_s pinned to TMIN culls the blocked rays from later gating
-            t_s[s][:] = jnp.where(anyhit, TMIN, t_s[s][:])
+            t_s[s][:, sl] = jnp.where(anyhit, TMIN, t_s[s][:, sl])
             btmax[s] = jnp.max(t_s[s][:])
+            if group_gate and g is not None:
+                btmaxg[s * G + g] = jnp.max(t_s[s][:, sl])
 
     # supercluster bitmask: union over segment sets
     scb = jnp.swapaxes(sc_ref[:], 0, 1)            # [C2p, 8]
     sc_any = None
     for s in range(ns):
-        h, _ = slab_entry(s, scb[:, 0:1], scb[:, 1:2], scb[:, 2:3],
-                          scb[:, 3:4], scb[:, 4:5], scb[:, 5:6])
+        h, _, _ = slab_entry(s, scb[:, 0:1], scb[:, 1:2], scb[:, 2:3],
+                             scb[:, 3:4], scb[:, 4:5], scb[:, 5:6])
         sc_any = h if sc_any is None else (sc_any | h)
     sc_sub = jax.lax.broadcasted_iota(jnp.int32, sc_any.shape, 0)
     sc_w = jnp.left_shift(jnp.int32(1), sc_sub & 31)
@@ -165,10 +187,26 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
             entry_min = None
             setbits = None
             for s in range(ns):
-                h, entry = slab_entry(s, cb[:, 0:1], cb[:, 1:2], cb[:, 2:3],
-                                      cb[:, 3:4], cb[:, 4:5], cb[:, 5:6])
+                h, entry, hits = slab_entry(
+                    s, cb[:, 0:1], cb[:, 1:2], cb[:, 2:3],
+                    cb[:, 3:4], cb[:, 4:5], cb[:, 5:6])
                 e = jnp.where(h, entry, _INF)
-                b = jnp.where(h, jnp.int32(1 << s), 0)
+                if group_gate:
+                    # bit (s*G+g) set iff any ray of 128-lane group g
+                    # gates this cluster for set s (the sweep loop then
+                    # skips non-gating groups — tools/rowgate_sim.py:
+                    # only ~57% of gated-cluster rows gate at depth 1);
+                    # lane-slice reduces, NOT masked-iota (see dense.py)
+                    b = jnp.zeros_like(cl_sub)
+                    for g in range(G):
+                        any_g = jnp.any(hits[:, g * 128:(g + 1) * 128],
+                                        axis=1, keepdims=True)
+                        b = b | jnp.where(
+                            any_g,
+                            jnp.left_shift(jnp.int32(1),
+                                           jnp.int32(s * G + g)), 0)
+                else:
+                    b = jnp.where(h, jnp.int32(1 << s), 0)
                 good = h if good is None else (good | h)
                 entry_min = e if entry_min is None else jnp.minimum(
                     entry_min, e)
@@ -275,21 +313,41 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                 def _():
                     if ablate != "nosweep":
                         for s in range(ns):
-                            @pl.when(((jax.lax.shift_right_logical(
-                                       smask[i], s) & 1) == 1)
-                                     & (tlb[i] < btmax[s]))
-                            def _(s=s):
-                                tri_block(slot, s)
+                            if group_gate:
+                                # set-level skip, then per-(set,group)
+                                # gate bit + per-group btmax prune
+                                set_bits = (jax.lax.shift_right_logical(
+                                    smask[i], s * G) & ((1 << G) - 1))
+
+                                @pl.when((set_bits != 0)
+                                         & (tlb[i] < btmax[s]))
+                                def _(s=s, set_bits=set_bits):
+                                    for g in range(G):
+                                        @pl.when(((jax.lax.
+                                                   shift_right_logical(
+                                                       set_bits, g) & 1)
+                                                  == 1)
+                                                 & (tlb[i]
+                                                    < btmaxg[s * G + g]))
+                                        def _(s=s, g=g):
+                                            tri_block(slot, s, g)
+                            else:
+                                @pl.when(((jax.lax.shift_right_logical(
+                                           smask[i], s) & 1) == 1)
+                                         & (tlb[i] < btmax[s]))
+                                def _(s=s):
+                                    tri_block(slot, s)
             return 0
 
         jax.lax.fori_loop(0, count, cl_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "sort",
-                                             "ablate"))
+                                             "group_gate", "ablate"))
 def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
                    block: int = 512, interpret: bool = False,
-                   sort: bool = True, ablate: str = ""):
+                   sort: bool = True, group_gate: bool = False,
+                   ablate: str = ""):
     """NS-segment-set occlusion trace.
 
     light_pts: f32[NS, 3] — one origin point per segment set (shared by
@@ -340,7 +398,8 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
         axis=1).reshape(nblocks, 1, order_w)
 
     kernel = functools.partial(_occl_multi_kernel, n_sc=n_sc, ns=ns,
-                               sort=sort, ablate=ablate)
+                               sort=sort, group_gate=group_gate,
+                               ablate=ablate)
     d_k = dirs.reshape(ns * 3, nblocks, 1, block)
     tmax_k = tmax.reshape(ns, nblocks, 1, block)
     out_shape = jax.ShapeDtypeStruct((ns, nblocks, 1, block), jnp.int32)
@@ -375,6 +434,7 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SMEM((order_w // 32,), jnp.int32),
             pltpu.SMEM((ns,), jnp.float32),
+            pltpu.SMEM((ns * (block // 128),), jnp.float32),  # per-grp max-t
         ] + [pltpu.VMEM((1, block), jnp.float32) for _ in range(ns)],
         interpret=interpret,
     )(sc_order, tree.sc_boxes, tree.cl_boxes, light_pts, d_k, tmax_k,

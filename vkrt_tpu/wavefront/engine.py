@@ -148,11 +148,12 @@ class DenseBackend(NamedTuple):
     """Pallas cluster kernel; attributes selected inside the trace."""
     tree: object  # ClusterTree
 
-    def closest(self, o, d, tmax, interpret=False, block=BLOCK, sort=True):
+    def closest(self, o, d, tmax, interpret=False, block=BLOCK, sort=True,
+                group_gate=False):
         from vkrt_tpu.rt.dense import trace_dense
         t, slot, u, v, attrs = trace_dense(
             self.tree, o, d, tmax, with_attributes=True, interpret=interpret,
-            block=block, sort=sort)
+            block=block, sort=sort, group_gate=group_gate)
         return t, u, v, attrs, slot >= 0
 
     def occluded(self, o, d, tmax, interpret=False):
@@ -200,7 +201,8 @@ class ReferenceBackend(NamedTuple):
     bvh: object            # BVH2
     attr_table: jax.Array  # f32[T,36] per-triangle corner attrs (original order)
 
-    def closest(self, o, d, tmax, interpret=False, block=BLOCK, sort=True):
+    def closest(self, o, d, tmax, interpret=False, block=BLOCK, sort=True,
+                group_gate=False):
         from vkrt_tpu.rt.traverse import trace_closest
         of, df = L.from_cvec(o), L.from_cvec(d)
         t, tri, u, v = trace_closest(self.bvh, of, df, C.RAY_TMIN,
@@ -305,17 +307,21 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
         # cost one box sweep
         with jax.named_scope(f"trace_closest_d{_depth}"):
             tmax = jnp.where(active, C.RAY_TMAX, 0.0)
-            # depth-0 closest (coherent camera tiles) prefers 1024-ray
-            # blocks: halved per-block fixed costs beat the slightly
-            # wider cone (92.9 → 81.3 ms at 1080p, round 3). Depth>=1
-            # reflection cones are wide — 1024 measured 149 → 178 ms —
-            # so secondary depths stay at BLOCK.
-            cblk = (1024 if _depth == 0 and (nb * L.LANES) % 1024 == 0
-                    else BLOCK)
+            # 1024-ray blocks at every depth: depth 0 (coherent camera
+            # tiles) from halved per-block fixed costs (92.9 → 81.3 ms,
+            # round 3); depth>=1 only WITH per-group sweep gating, which
+            # removes the wide-reflection-cone penalty that made plain
+            # 1024 regress (149 → 178) — gated: 158.5 → 109.2 ms vs
+            # 123.3 at BLOCK (tools/groupgate_probe.py, outputs
+            # bit-identical). Gating pays only where rows diverge:
+            # coherent depth-0 rows gate 95% of clusters anyway
+            # (tools/rowgate_sim.py), so depth 0 stays ungated.
+            cblk = 1024 if (nb * L.LANES) % 1024 == 0 else BLOCK
             t, u, v, attrs, hitm = backend.closest(origins, dirs, tmax,
                                                    interpret=interpret,
                                                    block=cblk,
-                                                   sort=_depth == 0)
+                                                   sort=_depth == 0,
+                                                   group_gate=_depth >= 1)
         ray_count = ray_count + active.astype(jnp.int32)
         hit = hitm & active
         miss = active & ~hitm
