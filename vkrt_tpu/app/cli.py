@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard rays across all visible devices (mesh render)")
     p.add_argument("--msaa", type=int, default=8, choices=[1, 8],
                    help="raster-path MSAA sample count")
+    p.add_argument("--raster-method", choices=["auto", "edge", "wavefront"],
+                   default="auto",
+                   help="raster machinery: 'edge' = true edge-function "
+                        "rasterizer (vertex stage + screen-space coverage "
+                        "+ depth test), 'wavefront' = ray-cast equivalent; "
+                        "'auto' = edge on the dense backend")
     p.add_argument("--rebuild", choices=["refit", "full"], default="refit",
                    help="per-frame accel update when the config rebuilds "
                         "(config 5): 'refit' = device AABB refit, 'full' = "
@@ -93,10 +99,16 @@ def main(argv=None) -> int:
     from vkrt_tpu.app.state import load_state, save_state
 
     if args.raster:
+        import jax
+
         from vkrt_tpu.raster import Rasterizer
+        # Pallas kernels (dense backend / edge rasterizer) need interpret
+        # mode off-TPU; the reference backend ignores the flag
+        interpret = jax.default_backend() == "cpu"
         renderer = Rasterizer(args.scene, cfg, backend=args.backend,
                               max_texture_dim=args.max_texture_dim,
-                              msaa=args.msaa)
+                              msaa=args.msaa, method=args.raster_method,
+                              interpret=interpret)
     elif args.shard:
         import jax.numpy as jnp
 

@@ -104,21 +104,100 @@ def render_raster_frame(backend, tex, proj_inverse, view_inverse,
     return acc / len(offsets)
 
 
+def _edge_sample(tree, tex, view, proj, cfg: C.RenderConfig, off,
+                 interpret: bool, setup, scb, clb):
+    """One MSAA sample pass through the EDGE-FUNCTION rasterizer
+    (raster/edge.py): screen-space coverage + depth test, alpha-kill as
+    depth-floor continuation rounds — no rays anywhere."""
+    from vkrt_tpu.raster.edge import raster_edge
+    from vkrt_tpu.utils import layout as L
+
+    wp, hp = engine._pad_dims(cfg.width, cfg.height)
+    gx = (jnp.arange(wp, dtype=jnp.float32) + off[0])[None, :]
+    gy = (jnp.arange(hp, dtype=jnp.float32) + off[1])[:, None]
+    px = engine.tile(jnp.broadcast_to(gx, (hp, wp)))
+    py = engine.tile(jnp.broadcast_to(gy, (hp, wp)))
+    inside = engine.tile(jnp.broadcast_to(
+        (gx < cfg.width) & (gy < cfg.height), (hp, wp)))
+    shape = px.shape
+
+    color = jnp.broadcast_to(jnp.asarray(CLEAR_COLOR)[:, None, None],
+                             (3,) + shape)
+    zfloor = jnp.where(inside, 0.0, 1.0e9)       # pads park
+    for _round in range(MAX_DISCARD_ROUNDS):
+        z, slot, u, v, mat = raster_edge(setup, scb, clb, px, py, zfloor,
+                                         interpret=interpret)
+        hit = slot >= 0
+        texel, _, _ = sample_material(tex.texels_tri, tex.level_offset,
+                                      tex.level_width, tex.level_height,
+                                      jnp.where(hit, mat, 0),
+                                      jnp.where(hit[None], jnp.stack([u, v]),
+                                                0.0))
+        opaque = hit & (texel[3] >= ALPHA_DISCARD)
+        discarded = hit & ~opaque
+        color = L.where3(opaque, texel[:3], color)
+        # fragment kill: next round only accepts strictly deeper fragments
+        zfloor = jnp.where(discarded, z, 1.0e9)
+
+    return jnp.stack([engine.untile(color[k], hp, wp)[: cfg.height,
+                                                      : cfg.width]
+                      for k in range(3)], axis=-1)
+
+
+def render_raster_frame_edge(tree, tex, view, proj, cfg: C.RenderConfig,
+                             msaa: int = 8, interpret: bool = False):
+    """Full raster frame through the edge-function rasterizer: the
+    vertex/setup stage runs once per camera pose, the per-sample
+    coverage passes share it. Needs the FORWARD view/projection
+    matrices (the vertex-stage analogue of the reference's WVP UBO,
+    ref: Rasterizer.cpp:172-195)."""
+    from vkrt_tpu.raster.edge import build_raster_setup
+
+    setup, scb, clb = build_raster_setup(tree, view, proj,
+                                         cfg.width, cfg.height)
+    offsets = MSAA8 if msaa == 8 else np.array([[0.5, 0.5]], np.float32)
+    acc = None
+    for off in offsets:
+        s = _edge_sample(tree, tex, view, proj, cfg, off, interpret,
+                         setup, scb, clb)
+        acc = s if acc is None else acc + s
+    return acc / len(offsets)
+
+
 class Rasterizer:
     """ctor + render() — same shape as the reference Rasterizer
     (ref: src/Rasterizer.hpp:12-18), with the FPS overlay of the raster
-    path (ref: Rasterizer.cpp:151-161) burned in by app/overlay.py."""
+    path (ref: Rasterizer.cpp:151-161) burned in by app/overlay.py.
+
+    method="edge" (default on the dense backend) runs the true
+    edge-function rasterizer (raster/edge.py: vertex stage + screen-space
+    coverage + depth test); method="wavefront" runs the ray-cast
+    equivalent (bit-exact against the ray oracle — the two differ only
+    in sub-pixel edge-tie resolution)."""
 
     def __init__(self, model_path: str, cfg: C.RenderConfig,
                  backend: str = "dense", max_texture_dim: int = 0,
-                 msaa: int = 8, interpret: bool = False):
+                 msaa: int = 8, interpret: bool = False,
+                 method: str = "auto"):
         self.cfg = cfg
         self.msaa = msaa
         self.interpret = interpret
         self.flat, self.tex, self.backend = engine.cached_backend(
             model_path, max_texture_dim, backend)
-        self._frame = jax.jit(functools.partial(
-            render_raster_frame, cfg=cfg, msaa=msaa, interpret=interpret))
+        if method == "auto":
+            method = "edge" if hasattr(self.backend, "tree") else "wavefront"
+        if method == "edge" and not hasattr(self.backend, "tree"):
+            raise ValueError("edge rasterizer needs the dense backend "
+                             "(cluster tree)")
+        self.method = method
+        if method == "edge":
+            self._frame = jax.jit(functools.partial(
+                render_raster_frame_edge, cfg=cfg, msaa=msaa,
+                interpret=interpret))
+        else:
+            self._frame = jax.jit(functools.partial(
+                render_raster_frame, cfg=cfg, msaa=msaa,
+                interpret=interpret))
         self._timer = None
 
     def render(self, camera, show_fps: bool = True):
@@ -127,9 +206,14 @@ class Rasterizer:
         from vkrt_tpu.app.overlay import draw_text
 
         t0 = time.perf_counter()
-        fb = np.asarray(self._frame(self.backend, self.tex,
-                                    jnp.asarray(camera.proj_inverse),
-                                    jnp.asarray(camera.view_inverse)))
+        if self.method == "edge":
+            fb = np.asarray(self._frame(self.backend.tree, self.tex,
+                                        jnp.asarray(camera.view_matrix),
+                                        jnp.asarray(camera.projection_matrix)))
+        else:
+            fb = np.asarray(self._frame(self.backend, self.tex,
+                                        jnp.asarray(camera.proj_inverse),
+                                        jnp.asarray(camera.view_inverse)))
         dt = time.perf_counter() - t0
         if show_fps:
             fb = draw_text(fb, f"FPS {1.0 / max(dt, 1e-9):.1f}", 8, 8)
