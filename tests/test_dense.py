@@ -309,3 +309,51 @@ def test_occluded_multi_near_light_not_blocked(scene):
                                    occlusion=True, point_origin=True,
                                    block=128, interpret=True)
         np.testing.assert_array_equal(np.asarray(slot) >= 0, occ[s] > 0)
+
+
+def test_group_gate_closest_bit_exact(scene):
+    """Per-group sweep gating + per-group btmax (depth>=1 production
+    path) must be a pure work-skipping optimization: outputs bit-equal
+    to the ungated kernel, including parked rays and attributes."""
+    v0, e1, e2, tree = scene
+    rng = np.random.default_rng(33)
+    o, d = make_rays(n_rays=1024, seed=33)
+    tmax = np.where(rng.uniform(size=1024) < 0.4, 0.0, 1e3).astype(np.float32)
+    for block in (256, 512):
+        base = trace_dense(tree, jnp.asarray(o), jnp.asarray(d),
+                           jnp.asarray(tmax), block=block, interpret=True,
+                           with_attributes=True, sort=False)
+        gg = trace_dense(tree, jnp.asarray(o), jnp.asarray(d),
+                         jnp.asarray(tmax), block=block, interpret=True,
+                         with_attributes=True, sort=False, group_gate=True)
+        for a, b in zip(base, gg):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_group_gate_occl_multi_bit_exact(scene):
+    """Per-(set,group) gating in the multi-segment kernel (default-off;
+    kept correct for retests) must not change any blocked mask."""
+    from vkrt_tpu.rt.occl_multi import occluded_multi
+    from vkrt_tpu.utils import layout as L
+
+    v0, e1, e2, tree = scene
+    rng = np.random.default_rng(34)
+    NS, N = 4, 512
+    lights = rng.uniform(-6, 6, (NS, 3)).astype(np.float32)
+    pts = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    dirs = np.zeros((NS, 3, N // 128, 128), np.float32)
+    tm = np.zeros((NS, N // 128, 128), np.float32)
+    for s in range(NS):
+        dvec = pts - lights[s]
+        dist = np.linalg.norm(dvec, axis=1)
+        dirs[s] = np.asarray(L.to_cvec(jnp.asarray(dvec / dist[:, None])))
+        tmv = (dist - 0.001).astype(np.float32)
+        tmv[rng.random(N) < 0.3] = 0.0
+        tm[s] = np.asarray(L.to_lanes(jnp.asarray(tmv)))
+    base = occluded_multi(tree, jnp.asarray(lights), jnp.asarray(dirs),
+                          jnp.asarray(tm), block=256, interpret=True,
+                          sort=False)
+    gg = occluded_multi(tree, jnp.asarray(lights), jnp.asarray(dirs),
+                        jnp.asarray(tm), block=256, interpret=True,
+                        sort=False, group_gate=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(gg))

@@ -1,0 +1,207 @@
+"""Round-3 hardware queue — everything waiting on the axon relay, batched
+into ONE process (remote compiles don't cache across processes).
+
+  1. closest_d1 b1024 group_gate with the lane-slice prepass (the landed
+     production path — groupgate_probe.py measured 109.2 ms with the
+     masked-iota prepass; confirm the slice form compiles and is >= par)
+  2. shadow d1/d0 b1024 group_gate retest with the slice prepass
+     (+ nosweep ablation isolating prepass cost) — decides whether
+     occl_multi group gating ships or stays a recorded dead end
+  3. whole-frame config-4: production render_frame with the new engine
+     wiring (closest d1 = b1024+gate), timing + golden int consistency
+  4. config-5 stress e2e with rebuild=refit vs rebuild=full (BASELINE.md
+     VERDICT item 7 rows)
+  5. edge-function rasterizer on hardware: compiled (non-interpret)
+     kernel, 128x96 agreement vs the ray-cast wavefront raster, then a
+     1080p msaa-1 visibility-pass timing
+
+Run: python -u tools/r3_hw_queue.py > /tmp/r3q.out 2>&1
+"""
+import functools
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vkrt_tpu import config as C
+from vkrt_tpu.app.camera import Camera
+from vkrt_tpu.rt.dense import trace_dense
+from vkrt_tpu.rt.occl_multi import occluded_multi
+from vkrt_tpu.shade import shading
+from vkrt_tpu.shade.sampling import sample_material
+from vkrt_tpu.utils import layout as L
+from vkrt_tpu.utils.cache import enable_compilation_cache
+from vkrt_tpu.wavefront.engine import (cached_backend, camera_ray_blocks,
+                                       render_frame, _broadcast_points,
+                                       _pad_dims, tile)
+
+SCENE = "/root/reference/models/sponza/Sponza.gltf"
+BLOCK = 512
+
+
+def tmr(name, jf, *args, reps=3, extra=None):
+    r = jf(*args)
+    jax.block_until_ready(r)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = jf(*args)
+        jax.block_until_ready(r)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    out = {"step": name, "ms": round(best * 1e3, 1)}
+    if extra:
+        out.update(extra)
+    print(json.dumps(out), flush=True)
+    return r
+
+
+def main():
+    enable_compilation_cache()
+    flat, tex, backend = cached_backend(SCENE, 512, "dense")
+    tree = backend.tree
+    cfg = C.config4_flythrough()
+    cam = Camera(cfg.width, cfg.height)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+    pi, vi = jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse)
+    lights = jnp.asarray(C.LIGHT_POSITIONS)[:cfg.num_lights]
+    nl = cfg.num_lights
+
+    op, d0, active0 = jax.jit(
+        functools.partial(camera_ray_blocks, cfg=cfg))(pi, vi)
+
+    def frame_state(tree, tex, op, d, act):
+        o = _broadcast_points(
+            jnp.broadcast_to(op[None, :], (d.shape[1] * 128 // BLOCK, 3)), d)
+        tm = jnp.where(act, C.RAY_TMAX, 0.0)
+        t, slot, u, v, attrs = trace_dense(tree, o, d, tm,
+                                           with_attributes=True)
+        hit = (slot >= 0) & act
+        pos, normal, uv, tangent, mat_ids = shading.interpolate(attrs, u, v)
+        _, mr4, nmap4 = sample_material(
+            tex.texels_tri, tex.level_offset, tex.level_width,
+            tex.level_height, jnp.where(hit, mat_ids[0], 0),
+            jnp.where(hit[None], uv, 0.0))
+        pn = shading.perturbed_normal(normal, tangent, nmap4[:3])
+        geo = [shading.light_geometry(pos, lights[li]) for li in range(nl)]
+        casts = [hit & (L.dot3(pn, g[0]) > 0) for g in geo]
+        sd = jnp.stack([-g[0] for g in geo])
+        st = jnp.stack([jnp.where(c, g[1] - C.RAY_TMIN, 0.0)
+                        for c, g in zip(casts, geo)])
+        refl = hit & (mr4[2] > C.METALLIC_THRESHOLD)
+        o1 = L.where3(refl, pos, o)
+        d1 = L.where3(refl, shading.reflect(d, pn), d)
+        return sd, st, o1, d1, refl
+
+    state_j = jax.jit(frame_state)
+    sd0, st0, o1, d1, refl = state_j(tree, tex, op, d0, active0)
+    sd1, st1, _, _, _ = state_j(tree, tex, op, d1, refl)
+    tm1 = jnp.where(refl, C.RAY_TMAX, 0.0)
+
+    # --- 1. closest_d1 slice-prepass confirm (the landed path) ---------
+    for gg in (False, True):
+        cj = jax.jit(functools.partial(
+            lambda tree, o, d, tm: trace_dense(
+                tree, o, d, tm, with_attributes=True, block=1024,
+                sort=False, group_gate=gg)))
+        r = tmr(f"closest_d1_b1024_gg{int(gg)}_slice", cj, tree, o1, d1, tm1)
+        if gg:
+            gg_out = [np.asarray(x) for x in r]
+        else:
+            base_out = [np.asarray(x) for x in r]
+    print(json.dumps({"check": "closest_d1 gate outputs identical",
+                      "ok": bool(all(np.array_equal(a, b) for a, b in
+                                     zip(base_out, gg_out)))}), flush=True)
+
+    # --- 2. shadow retest with slice prepass + prepass ablation --------
+    occ_out = {}
+    for depth, sd, st in (("d1", sd1, st1), ("d0", sd0, st0)):
+        for gg in (False, True):
+            oj = jax.jit(functools.partial(
+                occluded_multi, block=1024, sort=(depth == "d0"),
+                group_gate=gg))
+            r = tmr(f"shadow_{depth}_b1024_gg{int(gg)}_slice",
+                    oj, tree, lights, sd, st)
+            occ_out[(depth, gg)] = np.asarray(r)
+    for depth in ("d1", "d0"):
+        print(json.dumps({"check": f"shadow_{depth} masks identical",
+                          "ok": bool(np.array_equal(occ_out[(depth, False)],
+                                                    occ_out[(depth, True)]))
+                          }), flush=True)
+    for gg in (False, True):
+        oj = jax.jit(functools.partial(
+            occluded_multi, block=1024, sort=False, group_gate=gg,
+            ablate="nosweep"))
+        tmr(f"shadow_d1_nosweep_gg{int(gg)}", oj, tree, lights, sd1, st1)
+
+    # --- 3. whole production frame (new engine wiring) ------------------
+    fj = jax.jit(functools.partial(render_frame, cfg=cfg))
+    r = tmr("frame_config4", fj, backend, tex, pi, vi, lights, reps=3)
+    fb = np.asarray(r[0])
+    rays = int(np.asarray(r[1]).sum())
+    print(json.dumps({"frame_rays": rays,
+                      "finite": bool(np.isfinite(fb).all())}), flush=True)
+
+    # --- 4. config-5 stress: refit vs full rebuild ----------------------
+    from vkrt_tpu.wavefront.engine import Renderer
+    for rebuild in ("refit", "full"):
+        ren = Renderer(SCENE, C.config5_stress(), backend="dense",
+                       max_texture_dim=512, quantize=True, rebuild=rebuild)
+        cam5 = Camera(ren.cfg.width, ren.cfg.height)
+        cam5.set_position(C.CAMERA_START_POSITION)
+        cam5.set_rotation(C.CAMERA_START_ROTATION)
+        ren.render(cam5)                       # compile + warm
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ren.render(cam5)
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"step": f"config5_e2e_rebuild_{rebuild}",
+                          "ms": round(best * 1e3, 1)}), flush=True)
+
+    # --- 5. edge rasterizer on hardware ---------------------------------
+    from vkrt_tpu.raster.edge import build_raster_setup, raster_edge
+
+    def px_py_zfl(Wp, Hp, Wv, Hv):
+        gx = (jnp.arange(Wp, dtype=jnp.float32) + 0.5)[None, :]
+        gy = (jnp.arange(Hp, dtype=jnp.float32) + 0.5)[:, None]
+        px = tile(jnp.broadcast_to(gx, (Hp, Wp)))
+        py = tile(jnp.broadcast_to(gy, (Hp, Wp)))
+        inside = tile(jnp.broadcast_to((gx < Wv) & (gy < Hv), (Hp, Wp)))
+        return px, py, jnp.where(inside, 0.0, 1.0e9)
+
+    # small-frame agreement vs the ray-cast wavefront raster pass
+    W, H = 128, 96
+    setup, scb, clb = build_raster_setup(tree, jnp.asarray(cam.view_matrix),
+                                         jnp.asarray(cam.projection_matrix),
+                                         W, H)
+    wp, hp = _pad_dims(W, H)
+    px, py, zfl = px_py_zfl(wp, hp, W, H)
+    z, slot, u, v, m = raster_edge(setup, scb, clb, px, py, zfl)
+    jax.block_until_ready(z)
+    hit = np.asarray(slot) >= 0
+    print(json.dumps({"edge_hw_smoke": "ok", "hit_frac":
+                      round(float(hit.mean()), 4)}), flush=True)
+
+    # 1080p visibility-pass timing (one msaa sample, first pass)
+    W, H = 1920, 1080
+    setup, scb, clb = build_raster_setup(tree, jnp.asarray(cam.view_matrix),
+                                         jnp.asarray(cam.projection_matrix),
+                                         W, H)
+    wp, hp = _pad_dims(W, H)
+    px, py, zfl = px_py_zfl(wp, hp, W, H)
+    rj = jax.jit(functools.partial(raster_edge, block=512))
+    tmr("edge_raster_1080p_pass", rj, setup, scb, clb, px, py, zfl)
+    sj = jax.jit(functools.partial(build_raster_setup, width=W, height=H))
+    tmr("edge_setup_1080p", sj, tree, jnp.asarray(cam.view_matrix),
+        jnp.asarray(cam.projection_matrix))
+
+
+if __name__ == "__main__":
+    main()
