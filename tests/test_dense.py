@@ -357,3 +357,58 @@ def test_group_gate_occl_multi_bit_exact(scene):
                         jnp.asarray(tm), block=256, interpret=True,
                         sort=False, group_gate=True)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(gg))
+
+
+def test_pregate_closest_bit_exact(scene):
+    """XLA-prologue work lists (pregate=True: interval-gated, sorted,
+    SMEM-streamed — replaces the in-kernel prepass) are a conservative
+    SUPERSET of per-ray gating: outputs bit-equal for coherent AND
+    scattered wavefronts, parked rays included."""
+    v0, e1, e2, tree = scene
+    rng = np.random.default_rng(44)
+    n = 1024
+    # coherent: one origin, tight cone (the depth-0 shape pregate serves)
+    o = np.tile(np.array([[0, 0, -12]], np.float32), (n, 1))
+    ang = rng.uniform(-0.25, 0.25, (n, 2)).astype(np.float32)
+    d = np.stack([np.sin(ang[:, 0]), np.sin(ang[:, 1]),
+                  np.cos(ang[:, 0]) * np.cos(ang[:, 1])], 1)
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    tmax = np.where(rng.uniform(size=n) < 0.2, 0.0, 1e3).astype(np.float32)
+    for o_set, d_set in ((o, d), make_rays(1024, seed=45)):
+        base = trace_dense(tree, jnp.asarray(o_set), jnp.asarray(d_set),
+                           jnp.asarray(tmax), block=256, interpret=True,
+                           with_attributes=True)
+        pg = trace_dense(tree, jnp.asarray(o_set), jnp.asarray(d_set),
+                         jnp.asarray(tmax), block=256, interpret=True,
+                         with_attributes=True, pregate=True)
+        for a, b in zip(base, pg):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pregate_occl_multi_bit_exact(scene):
+    """pregate in the multi-segment shadow kernel: per-set interval
+    gates packed into the per-cluster segment-set word — blocked masks
+    bit-equal to the in-kernel prepass."""
+    from vkrt_tpu.rt.occl_multi import occluded_multi
+    from vkrt_tpu.utils import layout as L
+
+    v0, e1, e2, tree = scene
+    rng = np.random.default_rng(46)
+    NS, N = 4, 512
+    lights = rng.uniform(-6, 6, (NS, 3)).astype(np.float32)
+    pts = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    dirs = np.zeros((NS, 3, N // 128, 128), np.float32)
+    tm = np.zeros((NS, N // 128, 128), np.float32)
+    for s in range(NS):
+        dvec = pts - lights[s]
+        dist = np.linalg.norm(dvec, axis=1)
+        dirs[s] = np.asarray(L.to_cvec(jnp.asarray(dvec / dist[:, None])))
+        tmv = (dist - 0.001).astype(np.float32)
+        tmv[rng.random(N) < 0.3] = 0.0
+        tm[s] = np.asarray(L.to_lanes(jnp.asarray(tmv)))
+    base = occluded_multi(tree, jnp.asarray(lights), jnp.asarray(dirs),
+                          jnp.asarray(tm), block=256, interpret=True)
+    pg = occluded_multi(tree, jnp.asarray(lights), jnp.asarray(dirs),
+                        jnp.asarray(tm), block=256, interpret=True,
+                        pregate=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(pg))

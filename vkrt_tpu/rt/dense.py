@@ -69,7 +69,128 @@ def _safe_inv(x):
     return 1.0 / jnp.where(jnp.abs(x) < tiny, jnp.where(x < 0, -tiny, tiny), x)
 
 
-def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
+def _pregate_worklists(tree, origins, dirs, tmax, *, block: int,
+                       point_origin: bool):
+    """XLA-prologue work lists for coherent dispatches (pregate=True).
+
+    Replaces the kernel's per-ray prepass (dense [C,R] box tests +
+    scalar emission + scalar insertion sort) with ONE vectorized
+    interval-arithmetic slab test per (block, cluster): the block's live
+    rays are summarized as per-axis origin/direction intervals, and a
+    cluster is gated iff the interval slab test can't rule out every
+    ray. This is a conservative SUPERSET of the per-ray union (outputs
+    stay bit-identical; extra clusters only cost sweeps), tight for
+    coherent blocks — camera tiles and point-origin shadow cones — and
+    hopeless for scattered depth>=1 wavefronts (a wide direction
+    interval spans zero on every axis → gates everything), so callers
+    use it at depth 0 only.
+
+    Returns (order i32[nblocks, Cp], tlb f32[nblocks, Cp],
+    count i32[nblocks, 1, 8]): cluster ids sorted front-to-back by a
+    conservative entry lower bound, their bounds, and the per-block
+    gated count (lane 0).
+    """
+    gate, tlb, _ = _interval_gate(tree, origins, dirs, tmax, block=block,
+                                  point_origin=point_origin)
+    return _pack_worklists(gate, tlb)
+
+
+def _interval_gate(tree, origins, dirs, tmax, *, block: int,
+                   point_origin: bool):
+    """Conservative per-(block, cluster) gate + entry lower bound via
+    interval-arithmetic slab tests (see _pregate_worklists). Returns
+    (gate bool[nblocks, maxc], tlb f32[nblocks, maxc], nblocks)."""
+    maxc = tree.tri_data.shape[0]
+    nblocks = tmax.size // block
+    live = tmax.reshape(nblocks, block) > TMIN
+    d = dirs.reshape(3, nblocks, block)
+    big = jnp.float32(_INF)
+
+    def masked_minmax(v):
+        return (jnp.min(jnp.where(live, v, big), axis=1),
+                jnp.max(jnp.where(live, v, -big), axis=1))
+
+    dmin, dmax = zip(*[masked_minmax(d[a]) for a in range(3)])
+    if point_origin:
+        ob = origins.T                                   # [3, nblocks]
+        omin = omax = [ob[a] for a in range(3)]
+        omin, omax = list(omin), list(omax)
+    else:
+        o = origins.reshape(3, nblocks, block)
+        omin, omax = zip(*[masked_minmax(o[a]) for a in range(3)])
+    tmax_max = jnp.max(jnp.where(live, tmax.reshape(nblocks, block), 0.0),
+                       axis=1)                           # [nblocks]
+
+    lo = [tree.cl_boxes[:, a, :].reshape(-1)[:maxc] for a in range(3)]
+    hi = [tree.cl_boxes[:, a + 3, :].reshape(-1)[:maxc] for a in range(3)]
+
+    tn_low = jnp.full((nblocks, maxc), -big)
+    tf_high = jnp.full((nblocks, maxc), big)
+    for a in range(3):
+        pos = dmin[a] > 1e-20
+        neg = dmax[a] < -1e-20
+        bounded = pos | neg
+        # reciprocal interval [1/dmax, 1/dmin] (valid for all-pos or
+        # all-neg direction intervals; sign-spanning axes are unbounded
+        # and add no constraint)
+        i_lo = jnp.where(bounded, 1.0 / jnp.where(bounded, dmax[a], 1.0),
+                         -big)[:, None]
+        i_hi = jnp.where(bounded, 1.0 / jnp.where(bounded, dmin[a], 1.0),
+                         big)[:, None]
+        n_l = [lo[a][None, :] - omax[a][:, None],
+               hi[a][None, :] - omax[a][:, None]]
+        n_h = [lo[a][None, :] - omin[a][:, None],
+               hi[a][None, :] - omin[a][:, None]]
+
+        def hull(nl, nh):
+            c = [nl * i_lo, nl * i_hi, nh * i_lo, nh * i_hi]
+            m_lo = jnp.minimum(jnp.minimum(c[0], c[1]),
+                               jnp.minimum(c[2], c[3]))
+            m_hi = jnp.maximum(jnp.maximum(c[0], c[1]),
+                               jnp.maximum(c[2], c[3]))
+            return m_lo, m_hi
+
+        t0_lo, t0_hi = hull(n_l[0], n_h[0])
+        t1_lo, t1_hi = hull(n_l[1], n_h[1])
+        tn_a_lo = jnp.minimum(t0_lo, t1_lo)
+        tf_a_hi = jnp.maximum(t0_hi, t1_hi)
+        unb = ~bounded[:, None]
+        tn_low = jnp.maximum(tn_low, jnp.where(unb, -big, tn_a_lo))
+        tf_high = jnp.minimum(tf_high, jnp.where(unb, big, tf_a_hi))
+
+    valid = lo[0] <= hi[0]                               # padded clusters
+    gate = ((tn_low <= tf_high) & (tf_high >= TMIN)
+            & (tn_low <= tmax_max[:, None]) & valid[None, :])
+    tlb = 0.9999 * jnp.maximum(jnp.where(tn_low <= -big, 0.0, tn_low), 0.0)
+    return gate, tlb, nblocks
+
+
+def _pack_worklists(gate, tlb, extra=None):
+    """Sort gated clusters front-to-back and pad for SMEM streaming.
+    extra: optional i32[nblocks, maxc] per-cluster payload (multi-kernel
+    segment-set bits) reordered alongside."""
+    nblocks, maxc = gate.shape
+    key = jnp.where(gate, tlb, jnp.inf)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)   # [nblocks, maxc]
+    tlb_sorted = jnp.take_along_axis(jnp.where(gate, tlb, 0.0), order,
+                                     axis=1)
+    count = jnp.sum(gate, axis=1).astype(jnp.int32)
+    cp = -(-maxc // 64) * 64
+    pad = cp - maxc
+    order_p = jnp.pad(order, ((0, 0), (0, pad)), constant_values=-1)
+    tlb_p = jnp.pad(tlb_sorted, ((0, 0), (0, pad)))
+    count8 = jnp.broadcast_to(count[:, None, None], (nblocks, 1, 8))
+    out = (order_p.reshape(nblocks, 1, cp), tlb_p.reshape(nblocks, 1, cp),
+           count8)
+    if extra is not None:
+        ex = jnp.take_along_axis(extra, order, axis=1)
+        out = out + (jnp.pad(ex, ((0, 0), (0, pad)))
+                     .reshape(nblocks, 1, cp),)
+    return out
+
+
+def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
+                  wl_order, wl_tlb, wl_count, tri_hbm,
                   # outputs
                   t_out, slot_out, u_out, v_out, attr_out, stats_out,
                   # scratch
@@ -79,7 +200,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                   *, n_sc: int, occlusion: bool, with_attributes: bool,
                   stats: bool, point_origin: bool, approx_recip: bool,
                   sort: bool = True, group_gate: bool = False,
-                  ablate: str = ""):
+                  pregate: bool = False, ablate: str = ""):
     R = d_ref.shape[-1]           # rays per block, on lanes
     NBUF = sem.shape[0]           # per-cluster DMA pipeline depth
     K1 = tris.shape[1]            # triangles per cluster (from the build)
@@ -260,15 +381,16 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     # the driver-BVH generality analogue of ref Raytracer.cpp:1027-1157).
     # This is the coarse (t-unaware) cull; the per-supercluster recheck
     # below implements early termination as t_s shrinks.
-    scb = jnp.swapaxes(sc_ref[:], 0, 1)       # [C2p, 8]: boxes → sublanes
-    sc_hits, _, _ = slab_entry(scb[:, 0:1], scb[:, 1:2], scb[:, 2:3],
-                               scb[:, 3:4], scb[:, 4:5], scb[:, 5:6])
-    sc_sub = jax.lax.broadcasted_iota(jnp.int32, sc_hits.shape, 0)
-    sc_w = jnp.left_shift(jnp.int32(1), sc_sub & 31)
-    n_words = sc_mask.shape[0]
-    for w in range(n_words):
-        in_word = (sc_sub >= w * 32) & (sc_sub < (w + 1) * 32)
-        sc_mask[w] = jnp.sum(jnp.where(sc_hits & in_word, sc_w, 0))
+    if not pregate:
+        scb = jnp.swapaxes(sc_ref[:], 0, 1)   # [C2p, 8]: boxes → sublanes
+        sc_hits, _, _ = slab_entry(scb[:, 0:1], scb[:, 1:2], scb[:, 2:3],
+                                   scb[:, 3:4], scb[:, 4:5], scb[:, 5:6])
+        sc_sub = jax.lax.broadcasted_iota(jnp.int32, sc_hits.shape, 0)
+        sc_w = jnp.left_shift(jnp.int32(1), sc_sub & 31)
+        n_words = sc_mask.shape[0]
+        for w in range(n_words):
+            in_word = (sc_sub >= w * 32) & (sc_sub < (w + 1) * 32)
+            sc_mask[w] = jnp.sum(jnp.where(sc_hits & in_word, sc_w, 0))
 
     def test_sc(s):
         word = sc_mask[jax.lax.shift_right_logical(s, 5)]
@@ -350,11 +472,29 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
     # tests but skips the scalar emission loops; "nodma_nosort" emits but
     # skips sort+DMA+sweeps; "nodma" adds the sort back; "nosweep" runs
     # everything but the MT sweeps. Production always passes "".
-    if ablate == "onlysc":
+    if pregate:
+        # pregate=True: the XLA prologue already gated, bounded and
+        # sorted the cluster work list (_pregate_worklists) — the kernel
+        # reads it from SMEM inputs and skips the whole prepass
+        count = wl_count[0, 0, 0]
+
+        def rd_gated(i):
+            return wl_order[0, 0, i]
+
+        def rd_tlb(i):
+            return wl_tlb[0, 0, i]
+    elif ablate == "onlysc":
         nlist[0] = 0
+        count = nlist[0]
     else:
         jax.lax.fori_loop(0, n_sc, pre_body, 0)
-    count = nlist[0]
+        count = nlist[0]
+    if not pregate:
+        def rd_gated(i):
+            return gated[i]
+
+        def rd_tlb(i):
+            return tlb[i]
     if stats:
         counters[0] = count
 
@@ -389,14 +529,14 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
             gmask[j] = key_m
         return 0
 
-    if sort and ablate not in ("nodma_nosort", "nosort"):
+    if sort and not pregate and ablate not in ("nodma_nosort", "nosort"):
         jax.lax.fori_loop(1, count, ins_body, 0)
 
     def cluster_dmas(i, slot):
         """The per-cluster copies (a list so further per-cluster streams
         can join the same started/wait protocol)."""
         return [pltpu.make_async_copy(
-            tri_hbm.at[gated[i]], tris.at[slot], sem.at[slot])]
+            tri_hbm.at[rd_gated(i)], tris.at[slot], sem.at[slot])]
 
     # NBUF-deep cluster pipeline. DMA start/wait pairing must be
     # deterministic (an unwaited started DMA wedges the core), but the
@@ -419,7 +559,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
 
             @pl.when(j < count)
             def _():
-                go = tlb[j] < btmax[0]            # issue-time scalar prune
+                go = rd_tlb(j) < btmax[0]         # issue-time scalar prune
                 started[j] = go.astype(jnp.int32)
 
                 @pl.when(go)
@@ -433,7 +573,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                 for dma in cluster_dmas(i, slot):
                     dma.wait()
 
-                @pl.when(tlb[i] < btmax[0])       # sweep-time scalar prune
+                @pl.when(rd_tlb(i) < btmax[0])    # sweep-time scalar prune
                 def _():
                     if stats:
                         counters[1] = counters[1] + 1
@@ -446,11 +586,11 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref, tri_hbm,
                                 # for far clusters — VERDICT r2 item 5)
                                 @pl.when(((jax.lax.shift_right_logical(
                                            gm, g) & 1) == 1)
-                                         & (tlb[i] < btmaxg[g]))
+                                         & (rd_tlb(i) < btmaxg[g]))
                                 def _(g=g):
-                                    tri_block(slot, gated[i], g)
+                                    tri_block(slot, rd_gated(i), g)
                         else:
-                            tri_block(slot, gated[i])
+                            tri_block(slot, rd_gated(i))
             return 0
 
         jax.lax.fori_loop(0, count, cl_body, 0)
@@ -473,7 +613,8 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                 with_attributes: bool = False, interpret: bool = False,
                 stats: bool = False, point_origin: bool = False,
                 approx_recip: bool = True, sort: bool = True,
-                group_gate: bool = False, ablate: str = ""):
+                group_gate: bool = False, pregate: bool = False,
+                ablate: str = ""):
     """Trace rays against the cluster tree (lane-major I/O).
 
     origins/dirs: f32[3, Nb, 128]; tmax: f32[Nb, 128]. N = Nb*128 must be
@@ -508,19 +649,22 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                         interpret=interpret, stats=stats,
                         point_origin=point_origin,
                         approx_recip=approx_recip, sort=sort,
-                        group_gate=group_gate, ablate=ablate)
+                        group_gate=group_gate, pregate=pregate,
+                        ablate=ablate)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "occlusion",
                                              "with_attributes", "interpret",
                                              "stats", "point_origin",
                                              "approx_recip", "sort",
-                                             "group_gate", "ablate"))
+                                             "group_gate", "pregate",
+                                             "ablate"))
 def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                  block: int, occlusion: bool, with_attributes: bool,
                  interpret: bool, stats: bool, point_origin: bool,
                  approx_recip: bool, sort: bool = True,
-                 group_gate: bool = False, ablate: str = ""):
+                 group_gate: bool = False, pregate: bool = False,
+                 ablate: str = ""):
     nb = dirs.shape[1]
     N = nb * LANES
     assert N % block == 0, f"ray count {N} not a multiple of block {block}"
@@ -533,40 +677,60 @@ def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
 
     # Per-block front-to-back supercluster visit order: entry distance of
     # each supercluster box along the block's mean ray. Cheap XLA prologue
-    # that unlocks early termination inside the kernel.
-    if point_origin:
-        assert origins.shape == (nblocks, 3), origins.shape
-        ob = origins.T                                       # [3,nb]
-    else:
-        ob = origins.reshape(3, nblocks, block).mean(axis=2)
-    db = dirs.reshape(3, nblocks, block).mean(axis=2)
-    db_n = jnp.sqrt(jnp.maximum(db[0] ** 2 + db[1] ** 2 + db[2] ** 2, 1e-24))
-    db = db / db_n[None]
-    inv = 1.0 / jnp.where(jnp.abs(db) < 1e-12,
-                          jnp.where(db < 0, -1e-12, 1e-12), db)
-    tn = None
-    tf = None
-    for a in range(3):
-        lo = tree.sc_boxes[a, :n_sc]                         # [n_sc]
-        hi = tree.sc_boxes[a + 3, :n_sc]
-        t0 = (lo[None, :] - ob[a][:, None]) * inv[a][:, None]  # [nb,n_sc]
-        t1 = (hi[None, :] - ob[a][:, None]) * inv[a][:, None]
-        lo_t = jnp.minimum(t0, t1)
-        hi_t = jnp.maximum(t0, t1)
-        tn = lo_t if tn is None else jnp.maximum(tn, lo_t)
-        tf = hi_t if tf is None else jnp.minimum(tf, hi_t)
-    key = jnp.where(tn <= tf, jnp.maximum(tn, 0.0), jnp.inf)
-    sc_order = jnp.argsort(key, axis=1).astype(jnp.int32)    # [nblocks,n_sc]
+    # that unlocks early termination inside the kernel. (Unused — and
+    # skipped — under pregate, which carries its own sorted work list.)
     order_w = -(-n_sc // 64) * 64
-    sc_order = jnp.concatenate(
-        [sc_order, jnp.full((nblocks, order_w - n_sc), -1, jnp.int32)], axis=1)
-    sc_order = sc_order.reshape(nblocks, 1, order_w)  # SMEM block-shape rule
+    if pregate:
+        sc_order = jnp.zeros((nblocks, 1, order_w), jnp.int32)
+    else:
+        if point_origin:
+            assert origins.shape == (nblocks, 3), origins.shape
+            ob = origins.T                                   # [3,nb]
+        else:
+            ob = origins.reshape(3, nblocks, block).mean(axis=2)
+        db = dirs.reshape(3, nblocks, block).mean(axis=2)
+        db_n = jnp.sqrt(jnp.maximum(
+            db[0] ** 2 + db[1] ** 2 + db[2] ** 2, 1e-24))
+        db = db / db_n[None]
+        inv = 1.0 / jnp.where(jnp.abs(db) < 1e-12,
+                              jnp.where(db < 0, -1e-12, 1e-12), db)
+        tn = None
+        tf = None
+        for a in range(3):
+            lo = tree.sc_boxes[a, :n_sc]                     # [n_sc]
+            hi = tree.sc_boxes[a + 3, :n_sc]
+            t0 = (lo[None, :] - ob[a][:, None]) * inv[a][:, None]
+            t1 = (hi[None, :] - ob[a][:, None]) * inv[a][:, None]
+            lo_t = jnp.minimum(t0, t1)
+            hi_t = jnp.maximum(t0, t1)
+            tn = lo_t if tn is None else jnp.maximum(tn, lo_t)
+            tf = hi_t if tf is None else jnp.minimum(tf, hi_t)
+        key = jnp.where(tn <= tf, jnp.maximum(tn, 0.0), jnp.inf)
+        sc_order = jnp.argsort(key, axis=1).astype(jnp.int32)
+        sc_order = jnp.concatenate(
+            [sc_order, jnp.full((nblocks, order_w - n_sc), -1, jnp.int32)],
+            axis=1)
+        sc_order = sc_order.reshape(nblocks, 1, order_w)
+
+    assert not (pregate and group_gate), \
+        "pregate (coherent depth-0) and group_gate (depth>=1) are exclusive"
+    if pregate:
+        wl_order, wl_tlb, wl_count = _pregate_worklists(
+            tree, origins, dirs, tmax, block=block,
+            point_origin=point_origin)
+        cp = wl_order.shape[-1]
+    else:
+        cp = 64
+        wl_order = jnp.zeros((nblocks, 1, cp), jnp.int32)
+        wl_tlb = jnp.zeros((nblocks, 1, cp), jnp.float32)
+        wl_count = jnp.zeros((nblocks, 1, 8), jnp.int32)
 
     kernel = functools.partial(_trace_kernel, n_sc=n_sc, occlusion=occlusion,
                                with_attributes=with_attributes, stats=stats,
                                point_origin=point_origin,
                                approx_recip=approx_recip, sort=sort,
-                               group_gate=group_gate, ablate=ablate)
+                               group_gate=group_gate, pregate=pregate,
+                               ablate=ablate)
     grid = (nblocks,)
     attr_rows = 36 if with_attributes else 1
     # Ray I/O rides as [·, nblocks, 1, block] — a free reshape of the
@@ -608,6 +772,9 @@ def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
         o_spec,
         pl.BlockSpec((3, 1, 1, block), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cp), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, cp), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pl.ANY),        # tri_data stays in HBM
     ]
     t, slot, u, v, attrs, stat = pl.pallas_call(
@@ -636,7 +803,7 @@ def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
         ],
         interpret=interpret,
     )(sc_order, tree.sc_boxes, tree.cl_boxes, o_k, d_k, tmax_k,
-      tree.tri_data)
+      wl_order, wl_tlb, wl_count, tree.tri_data)
 
     t = t.reshape(nb, LANES)
     slot = slot.reshape(nb, LANES)

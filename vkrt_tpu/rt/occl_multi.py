@@ -38,14 +38,14 @@ from vkrt_tpu.rt.dense import TMIN, _INF, _DET_EPS, LANES, _safe_inv
 
 
 def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
-                       tri_hbm,
+                       wl_order, wl_tlb, wl_smask, wl_count, tri_hbm,
                        # outputs
                        occ_out,
                        # scratch
                        tris, sem, gated, tlb, smask, started, nlist, sc_mask,
                        btmax, btmaxg, *t_s, n_sc: int, ns: int,
                        sort: bool = True, group_gate: bool = False,
-                       ablate: str = ""):
+                       pregate: bool = False, ablate: str = ""):
     R = d_ref.shape[-1]
     NBUF = sem.shape[0]
     K1 = tris.shape[1]
@@ -149,18 +149,19 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                 btmaxg[s * G + g] = jnp.max(t_s[s][:, sl])
 
     # supercluster bitmask: union over segment sets
-    scb = jnp.swapaxes(sc_ref[:], 0, 1)            # [C2p, 8]
-    sc_any = None
-    for s in range(ns):
-        h, _, _ = slab_entry(s, scb[:, 0:1], scb[:, 1:2], scb[:, 2:3],
-                             scb[:, 3:4], scb[:, 4:5], scb[:, 5:6])
-        sc_any = h if sc_any is None else (sc_any | h)
-    sc_sub = jax.lax.broadcasted_iota(jnp.int32, sc_any.shape, 0)
-    sc_w = jnp.left_shift(jnp.int32(1), sc_sub & 31)
-    n_words = sc_mask.shape[0]
-    for w in range(n_words):
-        in_word = (sc_sub >= w * 32) & (sc_sub < (w + 1) * 32)
-        sc_mask[w] = jnp.sum(jnp.where(sc_any & in_word, sc_w, 0))
+    if not pregate:
+        scb = jnp.swapaxes(sc_ref[:], 0, 1)        # [C2p, 8]
+        sc_any = None
+        for s in range(ns):
+            h, _, _ = slab_entry(s, scb[:, 0:1], scb[:, 1:2], scb[:, 2:3],
+                                 scb[:, 3:4], scb[:, 4:5], scb[:, 5:6])
+            sc_any = h if sc_any is None else (sc_any | h)
+        sc_sub = jax.lax.broadcasted_iota(jnp.int32, sc_any.shape, 0)
+        sc_w = jnp.left_shift(jnp.int32(1), sc_sub & 31)
+        n_words = sc_mask.shape[0]
+        for w in range(n_words):
+            in_word = (sc_sub >= w * 32) & (sc_sub < (w + 1) * 32)
+            sc_mask[w] = jnp.sum(jnp.where(sc_any & in_word, sc_w, 0))
 
     def test_sc(s):
         word = sc_mask[jax.lax.shift_right_logical(s, 5)]
@@ -242,11 +243,34 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         return 0
 
     # ablate: probe-only phase decomposition (see rt/dense.py)
-    if ablate == "onlysc":
-        nlist[0] = 0
+    if pregate:
+        # XLA prologue gated/sorted the work list (rt/dense.py
+        # _pregate_worklists machinery) — read it from SMEM inputs
+        count = wl_count[0, 0, 0]
+
+        def rd_gated(i):
+            return wl_order[0, 0, i]
+
+        def rd_tlb(i):
+            return wl_tlb[0, 0, i]
+
+        def rd_smask(i):
+            return wl_smask[0, 0, i]
     else:
-        jax.lax.fori_loop(0, n_sc, pre_body, 0)
-    count = nlist[0]
+        if ablate == "onlysc":
+            nlist[0] = 0
+        else:
+            jax.lax.fori_loop(0, n_sc, pre_body, 0)
+        count = nlist[0]
+
+        def rd_gated(i):
+            return gated[i]
+
+        def rd_tlb(i):
+            return tlb[i]
+
+        def rd_smask(i):
+            return smask[i]
 
     def ins_body(i, _):
         key_t = tlb[i]
@@ -270,7 +294,7 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
 
     # sort=(depth==0): see rt/dense.py — nearest-first pays only for
     # coherent dispatches (occl_d1 271→252 ms with the sort skipped)
-    if sort and ablate not in ("nodma_nosort", "nosort"):
+    if sort and not pregate and ablate not in ("nodma_nosort", "nosort"):
         jax.lax.fori_loop(1, count, ins_body, 0)
 
     def any_live():
@@ -280,7 +304,7 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         return m
 
     def cluster_dma(i, slot):
-        return pltpu.make_async_copy(tri_hbm.at[gated[i]], tris.at[slot],
+        return pltpu.make_async_copy(tri_hbm.at[rd_gated(i)], tris.at[slot],
                                      sem.at[slot])
 
     if ablate in ("nodma", "nodma_nosort"):
@@ -297,7 +321,7 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
 
             @pl.when(j < count)
             def _():
-                go = tlb[j] < any_live()
+                go = rd_tlb(j) < any_live()
                 started[j] = go.astype(jnp.int32)
 
                 @pl.when(go)
@@ -309,7 +333,7 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                 slot = jax.lax.rem(i, NBUF)
                 cluster_dma(i, slot).wait()
 
-                @pl.when(tlb[i] < any_live())
+                @pl.when(rd_tlb(i) < any_live())
                 def _():
                     if ablate != "nosweep":
                         for s in range(ns):
@@ -317,24 +341,24 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                                 # set-level skip, then per-(set,group)
                                 # gate bit + per-group btmax prune
                                 set_bits = (jax.lax.shift_right_logical(
-                                    smask[i], s * G) & ((1 << G) - 1))
+                                    rd_smask(i), s * G) & ((1 << G) - 1))
 
                                 @pl.when((set_bits != 0)
-                                         & (tlb[i] < btmax[s]))
+                                         & (rd_tlb(i) < btmax[s]))
                                 def _(s=s, set_bits=set_bits):
                                     for g in range(G):
                                         @pl.when(((jax.lax.
                                                    shift_right_logical(
                                                        set_bits, g) & 1)
                                                   == 1)
-                                                 & (tlb[i]
+                                                 & (rd_tlb(i)
                                                     < btmaxg[s * G + g]))
                                         def _(s=s, g=g):
                                             tri_block(slot, s, g)
                             else:
                                 @pl.when(((jax.lax.shift_right_logical(
-                                           smask[i], s) & 1) == 1)
-                                         & (tlb[i] < btmax[s]))
+                                           rd_smask(i), s) & 1) == 1)
+                                         & (rd_tlb(i) < btmax[s]))
                                 def _(s=s):
                                     tri_block(slot, s)
             return 0
@@ -342,32 +366,10 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         jax.lax.fori_loop(0, count, cl_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret", "sort",
-                                             "group_gate", "ablate"))
-def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
-                   block: int = 512, interpret: bool = False,
-                   sort: bool = True, group_gate: bool = False,
-                   ablate: str = ""):
-    """NS-segment-set occlusion trace.
-
-    light_pts: f32[NS, 3] — one origin point per segment set (shared by
-    every block). dirs: f32[NS, 3, Nb, 128] — per-set directions over the
-    SAME surface-tile wavefront. tmax: f32[NS, Nb, 128] (0 = parked).
-    Returns blocked bool[NS, Nb, 128].
-    """
-    ns = int(light_pts.shape[0])
-    nb = dirs.shape[2]
-    N = nb * LANES
-    assert N % block == 0
-    n_sc = tree.num_superclusters
-    c2p = tree.sc_boxes.shape[1]
-    k1 = tree.tri_data.shape[1]
-    NBUF = 4
-    maxc = tree.tri_data.shape[0]
-    nblocks = N // block
-
-    # prologue: front-to-back supercluster order keyed by the MIN entry
-    # over segment sets along each set's mean ray
+def _sc_order_multi(tree, light_pts, dirs, ns, nblocks, block, n_sc,
+                    order_w):
+    """Front-to-back supercluster order keyed by the MIN entry over
+    segment sets along each set's mean ray."""
     db = dirs.reshape(ns, 3, nblocks, block).mean(axis=3)
     key = None
     for s in range(ns):
@@ -392,14 +394,71 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
         k_s = jnp.where(tn <= tf, jnp.maximum(tn, 0.0), jnp.inf)
         key = k_s if key is None else jnp.minimum(key, k_s)
     sc_order = jnp.argsort(key, axis=1).astype(jnp.int32)
-    order_w = -(-n_sc // 64) * 64
-    sc_order = jnp.concatenate(
+    return jnp.concatenate(
         [sc_order, jnp.full((nblocks, order_w - n_sc), -1, jnp.int32)],
         axis=1).reshape(nblocks, 1, order_w)
 
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "sort",
+                                             "group_gate", "pregate",
+                                             "ablate"))
+def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
+                   block: int = 512, interpret: bool = False,
+                   sort: bool = True, group_gate: bool = False,
+                   pregate: bool = False, ablate: str = ""):
+    """NS-segment-set occlusion trace.
+
+    light_pts: f32[NS, 3] — one origin point per segment set (shared by
+    every block). dirs: f32[NS, 3, Nb, 128] — per-set directions over the
+    SAME surface-tile wavefront. tmax: f32[NS, Nb, 128] (0 = parked).
+    Returns blocked bool[NS, Nb, 128].
+    """
+    ns = int(light_pts.shape[0])
+    nb = dirs.shape[2]
+    N = nb * LANES
+    assert N % block == 0
+    n_sc = tree.num_superclusters
+    c2p = tree.sc_boxes.shape[1]
+    k1 = tree.tri_data.shape[1]
+    NBUF = 4
+    maxc = tree.tri_data.shape[0]
+    nblocks = N // block
+
+    # pregate: XLA-prologue per-(block, cluster, set) interval gating —
+    # the kernel skips its whole per-ray prepass and the scalar
+    # emission/sort (see rt/dense.py _pregate_worklists; coherent
+    # point-origin shadow cones only)
+    order_w = -(-n_sc // 64) * 64
+    if pregate:
+        from vkrt_tpu.rt.dense import _interval_gate, _pack_worklists
+        gate_any, tlb_min, sbits = None, None, None
+        for s in range(ns):
+            o_pts = jnp.broadcast_to(light_pts[s][None, :], (nblocks, 3))
+            g, t, _ = _interval_gate(tree, o_pts, dirs[s], tmax[s],
+                                     block=block, point_origin=True)
+            b = jnp.where(g, jnp.int32(1 << s), 0)
+            gate_any = g if gate_any is None else (gate_any | g)
+            tlb_min = (jnp.where(g, t, _INF) if tlb_min is None
+                       else jnp.minimum(tlb_min, jnp.where(g, t, _INF)))
+            sbits = b if sbits is None else (sbits | b)
+        wl_order, wl_tlb, wl_count, wl_smask = _pack_worklists(
+            gate_any, jnp.where(gate_any, tlb_min, 0.0), extra=sbits)
+        cp = wl_order.shape[-1]
+        sc_order = jnp.zeros((nblocks, 1, order_w), jnp.int32)
+    else:
+        cp = 64
+        wl_order = jnp.zeros((nblocks, 1, cp), jnp.int32)
+        wl_tlb = jnp.zeros((nblocks, 1, cp), jnp.float32)
+        wl_smask = jnp.zeros((nblocks, 1, cp), jnp.int32)
+        wl_count = jnp.zeros((nblocks, 1, 8), jnp.int32)
+        # prologue: front-to-back supercluster order keyed by the MIN
+        # entry over segment sets along each set's mean ray
+        sc_order = _sc_order_multi(tree, light_pts, dirs, ns, nblocks,
+                                   block, n_sc, order_w)
+
     kernel = functools.partial(_occl_multi_kernel, n_sc=n_sc, ns=ns,
                                sort=sort, group_gate=group_gate,
-                               ablate=ablate)
+                               pregate=pregate, ablate=ablate)
     d_k = dirs.reshape(ns * 3, nblocks, 1, block)
     tmax_k = tmax.reshape(ns, nblocks, 1, block)
     out_shape = jax.ShapeDtypeStruct((ns, nblocks, 1, block), jnp.int32)
@@ -419,6 +478,14 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ns, 1, 1, block), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, cp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, cp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((ns, 1, 1, block), lambda i: (0, i, 0, 0),
@@ -438,6 +505,6 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
         ] + [pltpu.VMEM((1, block), jnp.float32) for _ in range(ns)],
         interpret=interpret,
     )(sc_order, tree.sc_boxes, tree.cl_boxes, light_pts, d_k, tmax_k,
-      tree.tri_data)
+      wl_order, wl_tlb, wl_smask, wl_count, tree.tri_data)
 
     return occ.reshape(ns, nb, LANES) > 0
