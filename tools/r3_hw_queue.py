@@ -140,9 +140,11 @@ def main():
             ablate="nosweep"))
         tmr(f"shadow_d1_nosweep_gg{int(gg)}", oj, tree, lights, sd1, st1)
 
-    # --- 2b. pregate (XLA-prologue work lists) on the depth-0 dispatches
-    # (conservative interval gating, outputs bit-identical — replaces the
-    # in-kernel per-ray prepass + scalar emission + scalar sort)
+    # --- 2b. pregate (XLA-prologue work lists) on depth-0 CLOSEST only:
+    # tools/pregate_sim.py on real state — interval over-gate is +8.8%
+    # for camera tiles but 3.1-3.4x for shadow cones and depth-1 (the
+    # per-ray t clause prunes beyond each segment's own surface; the
+    # interval can't), so only closest_d0 is worth hardware time.
     tm0 = jnp.where(active0, C.RAY_TMAX, 0.0)
     o0 = _broadcast_points(
         jnp.broadcast_to(op[None, :], (d0.shape[1] * 128 // BLOCK, 3)), d0)
@@ -153,17 +155,11 @@ def main():
                 tree, o, d, tm, with_attributes=True, block=1024,
                 sort=True, pregate=pg)))
         r = tmr(f"closest_d0_b1024_pg{int(pg)}", cj, tree, o0, d0, tm0)
-        pg_out[("c", pg)] = [np.asarray(x) for x in r]
-        oj = jax.jit(functools.partial(
-            occluded_multi, block=1024, sort=True, pregate=pg))
-        r = tmr(f"shadow_d0_b1024_pg{int(pg)}", oj, tree, lights, sd0, st0)
-        pg_out[("s", pg)] = np.asarray(r)
+        pg_out[pg] = [np.asarray(x) for x in r]
     print(json.dumps({
-        "check": "pregate outputs identical",
-        "closest": bool(all(np.array_equal(a, b) for a, b in
-                            zip(pg_out[("c", False)], pg_out[("c", True)]))),
-        "shadow": bool(np.array_equal(pg_out[("s", False)],
-                                      pg_out[("s", True)]))}), flush=True)
+        "check": "pregate closest outputs identical",
+        "ok": bool(all(np.array_equal(a, b) for a, b in
+                       zip(pg_out[False], pg_out[True])))}), flush=True)
 
     # --- 3. whole production frame (new engine wiring) ------------------
     fj = jax.jit(functools.partial(render_frame, cfg=cfg))
