@@ -149,3 +149,70 @@ def test_compact_sampler_matches_full(rng):
                 np.asarray(full[k])[:, np.asarray(live)], atol=1e-6)
             dead_rows = ~np.asarray(jnp.any(live, axis=1))
             assert (np.asarray(got[k])[:, dead_rows] == 0).all()
+
+
+def test_trilinear_lod_blends_mip_levels(rng):
+    """Per-ray mip LOD (beyond-parity, config.mip_lod): lod 0 must equal
+    the base sampler; integer lod k must equal static-level sampling;
+    fractional lod must blend the bracketing levels linearly."""
+    from vkrt_tpu.shade.sampling import sample_material_trilinear
+
+    imgs = make_images(rng)
+    triples = np.array([[0, 1, 2]], np.int32)
+    heap = build_material_heap(imgs, triples)
+    args = (jnp.asarray(heap.texels_tri), jnp.asarray(heap.level_offset),
+            jnp.asarray(heap.level_width), jnp.asarray(heap.level_height))
+    n = 128
+    sid = L.to_lanes(jnp.zeros(n, jnp.int32))
+    uvr = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+    uv = jnp.stack([L.to_lanes(jnp.asarray(uvr[:, 0])),
+                    L.to_lanes(jnp.asarray(uvr[:, 1]))])
+    base0 = sample_material(*args, sid, uv, lod=0)
+    base1 = sample_material(*args, sid, uv, lod=1)
+    tri0 = sample_material_trilinear(*args, sid, uv,
+                                     jnp.zeros_like(uv[0]))
+    tri1 = sample_material_trilinear(*args, sid, uv,
+                                     jnp.ones_like(uv[0]))
+    half = sample_material_trilinear(*args, sid, uv,
+                                     jnp.full_like(uv[0], 0.5))
+    for a, b in zip(base0, tri0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(base1, tri1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for lo, hi, m in zip(base0, base1, half):
+        np.testing.assert_allclose(np.asarray(m),
+                                   0.5 * (np.asarray(lo) + np.asarray(hi)),
+                                   atol=1e-6)
+
+
+def test_ray_diff_lod_scales_with_footprint(rng):
+    """Far/minified surfaces (large uv steps across lanes) must select a
+    higher mip; a 1-texel-per-pixel footprint stays at lod 0; surface
+    boundaries (mat change / miss) clamp to 0."""
+    from vkrt_tpu.shade.sampling import ray_diff_lod
+
+    lw = jnp.full((1, 6), 16, jnp.int32)
+    lh = jnp.full((1, 6), 8, jnp.int32)
+    n_rows = 2
+    sid = jnp.zeros((n_rows, 128), jnp.int32)
+    hit = jnp.ones((n_rows, 128), bool)
+    lane = np.arange(128, dtype=np.float32)
+    # row 0: 1 texel/pixel in u (du = 1/16 per lane) → lod 0
+    # row 1: 4 texels/pixel → lod 2
+    u = np.stack([lane / 16.0, lane * 4.0 / 16.0]) % 1.0
+    u = u.astype(np.float32)
+    uv = jnp.stack([jnp.asarray(u), jnp.zeros((n_rows, 128), jnp.float32)])
+    lod = np.asarray(ray_diff_lod(uv, hit, sid, lw, lh, sid))
+    # ignore the 16-lane wrap seams (x-neighbor rolls across subtile rows)
+    interior = np.ones(128, bool)
+    interior[::16] = False
+    # wrap-around texels (u jumps from 15/16 to 0) also alias
+    interior &= (np.abs(np.diff(u[0], prepend=u[0][0])) < 0.5)
+    interior &= (np.abs(np.diff(u[1], prepend=u[1][0])) < 0.5)
+    assert np.allclose(lod[0][interior], 0.0, atol=0.1)
+    assert np.allclose(lod[1][interior], 2.0, atol=0.1)
+    # boundary clamp: alternate materials → lod 0 everywhere
+    sid2 = jnp.asarray((np.arange(128) % 2).astype(np.int32))[None].repeat(
+        n_rows, 0)
+    lod2 = np.asarray(ray_diff_lod(uv, hit, sid2, lw, lh, sid2 * 0))
+    assert np.allclose(lod2, 0.0)

@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "rasterizer (vertex stage + screen-space coverage "
                         "+ depth test), 'wavefront' = ray-cast equivalent; "
                         "'auto' = edge on the dense backend")
+    p.add_argument("--mip-lod", action="store_true",
+                   help="beyond-parity: trilinear mip filtering from "
+                        "wavefront ray differentials (the reference's RT "
+                        "stage always samples mip 0, so golden configs "
+                        "keep this off)")
     p.add_argument("--rebuild", choices=["refit", "full"], default="refit",
                    help="per-frame accel update when the config rebuilds "
                         "(config 5): 'refit' = device AABB refit, 'full' = "
@@ -81,6 +86,8 @@ def resolve_config(args):
         overrides["enable_shadows"] = False
     if args.no_reflections:
         overrides["enable_reflections"] = False
+    if args.mip_lod:
+        overrides["mip_lod"] = True
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 

@@ -50,6 +50,11 @@ class RenderConfig:
     flat_albedo: bool = False     # config 1: base color only, no lighting
     rebuild_per_frame: bool = False  # config 5: LBVH rebuilt every frame
     ray_block: int = 1 << 17      # rays processed per wavefront chunk
+    # BEYOND-PARITY: per-ray mip LOD from wavefront-neighbor ray
+    # differentials (trilinear). The reference's RT stage has no
+    # derivatives and always samples level 0 (shader.rchit texture()),
+    # so this must stay off in every golden-gated config.
+    mip_lod: bool = False
 
     @property
     def resolution(self) -> Tuple[int, int]:

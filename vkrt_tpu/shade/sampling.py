@@ -59,6 +59,56 @@ def sample_material(texels_tri, level_offset, level_width, level_height,
     return lerp(0), lerp(16), lerp(32)
 
 
+def sample_material_trilinear(texels_tri, level_offset, level_width,
+                              level_height, slot_ids, uv, lod_f):
+    """Per-ray mip LOD (trilinear filtering): two quad-heap gathers at
+    the bracketing levels + a linear blend. BEYOND-PARITY feature — the
+    reference's ray-tracing stage has no derivatives and always samples
+    level 0 (`texture()` in shader.rchit; sampler chain built but unused
+    past lod 0) — so this is off by default (config.mip_lod) and never
+    on in golden-gated paths. lod_f: f32[Nb,128] (clamped to the chain).
+    Costs exactly 2x the lod-0 sampler (gather cost is per-row)."""
+    levels = level_offset.shape[1]
+    l0 = jnp.clip(jnp.floor(lod_f).astype(jnp.int32), 0, levels - 1)
+    l1 = jnp.minimum(l0 + 1, levels - 1)
+    f = jnp.clip(lod_f - l0.astype(jnp.float32), 0.0, 1.0)[None]
+    lo = sample_material(texels_tri, level_offset, level_width,
+                         level_height, slot_ids, uv, lod=l0)
+    hi = sample_material(texels_tri, level_offset, level_width,
+                         level_height, slot_ids, uv, lod=l1)
+    return tuple(a * (1.0 - f) + b * f for a, b in zip(lo, hi))
+
+
+def ray_diff_lod(uv, hit, mat_ids, level_width, level_height, slot_ids):
+    """Screen-space mip LOD from wavefront-neighbor differentials.
+
+    The engine's lane layout packs an 8x16 pixel subtile per 128-lane
+    group (wavefront.engine.tile), so the +x neighbor is lane+1 and the
+    +y neighbor lane+16: uv finite differences across lanes are the
+    rgen-stage analogue of fragment-shader derivatives (which the
+    reference's RT stage cannot have). The standard GL rho formula
+    gives lod = log2(max texel footprint); differences across surface
+    boundaries (different triangle material, or a miss) clamp to 0 so
+    edges stay sharp."""
+    w0 = level_width[slot_ids, 0].astype(jnp.float32)
+    h0 = level_height[slot_ids, 0].astype(jnp.float32)
+
+    def d_lane(a, shift):
+        return a - jnp.roll(a, shift, axis=-1)
+
+    same = hit & jnp.roll(hit, 1, axis=-1) \
+        & (mat_ids == jnp.roll(mat_ids, 1, axis=-1))
+    same16 = hit & jnp.roll(hit, 16, axis=-1) \
+        & (mat_ids == jnp.roll(mat_ids, 16, axis=-1))
+    dx = jnp.stack([d_lane(uv[0], 1) * w0, d_lane(uv[1], 1) * h0])
+    dy = jnp.stack([d_lane(uv[0], 16) * w0, d_lane(uv[1], 16) * h0])
+    rho_x = jnp.sqrt(dx[0] ** 2 + dx[1] ** 2)
+    rho_y = jnp.sqrt(dy[0] ** 2 + dy[1] ** 2)
+    rho = jnp.maximum(jnp.where(same, rho_x, 1.0),
+                      jnp.where(same16, rho_y, 1.0))
+    return jnp.maximum(jnp.log2(jnp.maximum(rho, 1.0)), 0.0)
+
+
 def sample_material_compact(texels_tri, level_offset, level_width,
                             level_height, slot_ids, uv, live,
                             cap_rows: int, lod: int = 0):

@@ -338,9 +338,20 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
         # are sparse (~25% live rows) — the compacted sampler gathers
         # only live rows (3.4x faster there, exact; measured round 2).
         if _depth == 0:
-            base4, mr4, nmap4 = sample_material(
-                tex.texels_tri, tex.level_offset, tex.level_width,
-                tex.level_height, mat_ids[0], uv)
+            if cfg.mip_lod:
+                # beyond-parity trilinear mip filtering (config.mip_lod;
+                # lane-neighbor differentials ≡ fragment derivatives)
+                from vkrt_tpu.shade.sampling import (ray_diff_lod,
+                                                     sample_material_trilinear)
+                lod = ray_diff_lod(uv, hit, mat_ids[0], tex.level_width,
+                                   tex.level_height, mat_ids[0])
+                base4, mr4, nmap4 = sample_material_trilinear(
+                    tex.texels_tri, tex.level_offset, tex.level_width,
+                    tex.level_height, mat_ids[0], uv, lod)
+            else:
+                base4, mr4, nmap4 = sample_material(
+                    tex.texels_tri, tex.level_offset, tex.level_width,
+                    tex.level_height, mat_ids[0], uv)
         else:
             cap = min(nb, max(8, -(-nb // 4) // 8 * 8))
             base4, mr4, nmap4 = sample_material_compact(
