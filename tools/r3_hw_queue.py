@@ -197,18 +197,28 @@ def main():
         inside = tile(jnp.broadcast_to((gx < Wv) & (gy < Hv), (Hp, Wp)))
         return px, py, jnp.where(inside, 0.0, 1.0e9)
 
-    # small-frame agreement vs the ray-cast wavefront raster pass
+    # full-scene agreement vs the ray-cast wavefront raster (compiled,
+    # textured, alpha-kill) — the hardware analogue of
+    # tests/test_raster_edge.py's flip gate
+    import dataclasses as _dc
+
+    from vkrt_tpu.raster.pipeline import (render_raster_frame,
+                                          render_raster_frame_edge)
     W, H = 128, 96
-    setup, scb, clb = build_raster_setup(tree, jnp.asarray(cam.view_matrix),
-                                         jnp.asarray(cam.projection_matrix),
-                                         W, H)
-    wp, hp = _pad_dims(W, H)
-    px, py, zfl = px_py_zfl(wp, hp, W, H)
-    z, slot, u, v, m = raster_edge(setup, scb, clb, px, py, zfl)
-    jax.block_until_ready(z)
-    hit = np.asarray(slot) >= 0
-    print(json.dumps({"edge_hw_smoke": "ok", "hit_frac":
-                      round(float(hit.mean()), 4)}), flush=True)
+    cfg_r = _dc.replace(C.reference_config(), width=W, height=H)
+    fb_e = np.asarray(jax.jit(functools.partial(
+        render_raster_frame_edge, cfg=cfg_r, msaa=1))(
+            tree, tex, jnp.asarray(cam.view_matrix),
+            jnp.asarray(cam.projection_matrix)))
+    fb_w = np.asarray(jax.jit(functools.partial(
+        render_raster_frame, cfg=cfg_r, msaa=1))(
+            backend, tex, pi, vi))
+    dd = np.abs(fb_e - fb_w).max(axis=-1)
+    print(json.dumps({"edge_hw_fullscene_flips": int((dd > 0.02).sum()),
+                      "of": W * H,
+                      "max_agree_diff":
+                          round(float(dd[dd <= 0.02].max()), 6)}),
+          flush=True)
 
     # 1080p visibility-pass timing (one msaa sample, first pass)
     W, H = 1920, 1080
