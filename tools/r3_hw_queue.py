@@ -1,9 +1,9 @@
 """Round-3 hardware queue — everything waiting on the axon relay, batched
 into ONE process (remote compiles don't cache across processes).
 
-  1. closest_d1 b1024 group_gate with the lane-slice prepass (the landed
-     production path — groupgate_probe.py measured 109.2 ms with the
-     masked-iota prepass; confirm the slice form compiles and is >= par)
+  1. closest_d1 b1024 group_gate (the landed production path: masked-
+     iota prepass, hardware-proven 109.2 ms) — regression confirm after
+     the pregate/worklist refactor
   2. shadow d1/d0 b1024 group_gate retest with the slice prepass
      (+ nosweep ablation isolating prepass cost) — decides whether
      occl_multi group gating ships or stays a recorded dead end
@@ -110,7 +110,7 @@ def main():
             lambda tree, o, d, tm: trace_dense(
                 tree, o, d, tm, with_attributes=True, block=1024,
                 sort=False, group_gate=gg)))
-        r = tmr(f"closest_d1_b1024_gg{int(gg)}_slice", cj, tree, o1, d1, tm1)
+        r = tmr(f"closest_d1_b1024_gg{int(gg)}", cj, tree, o1, d1, tm1)
         if gg:
             gg_out = [np.asarray(x) for x in r]
         else:
