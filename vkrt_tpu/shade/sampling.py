@@ -92,20 +92,30 @@ def ray_diff_lod(uv, hit, mat_ids, level_width, level_height, slot_ids):
     edges stay sharp."""
     w0 = level_width[slot_ids, 0].astype(jnp.float32)
     h0 = level_height[slot_ids, 0].astype(jnp.float32)
+    lane = jnp.arange(128, dtype=jnp.int32)
 
-    def d_lane(a, shift):
-        return a - jnp.roll(a, shift, axis=-1)
+    def diff(a, shift, use_fwd):
+        # backward difference, except at subtile-wrap lanes (a +1 roll
+        # makes lane 0's "neighbor" lane 127 — 8 pixel rows away) where
+        # the forward difference is the in-subtile neighbor
+        back = a - jnp.roll(a, shift, axis=-1)
+        fwd = jnp.roll(a, -shift, axis=-1) - a
+        return jnp.where(use_fwd, fwd, back)
 
-    same = hit & jnp.roll(hit, 1, axis=-1) \
-        & (mat_ids == jnp.roll(mat_ids, 1, axis=-1))
-    same16 = hit & jnp.roll(hit, 16, axis=-1) \
-        & (mat_ids == jnp.roll(mat_ids, 16, axis=-1))
-    dx = jnp.stack([d_lane(uv[0], 1) * w0, d_lane(uv[1], 1) * h0])
-    dy = jnp.stack([d_lane(uv[0], 16) * w0, d_lane(uv[1], 16) * h0])
+    def nbr_ok(shift, use_fwd):
+        def ok(roll_s):
+            return hit & jnp.roll(hit, roll_s, axis=-1) \
+                & (mat_ids == jnp.roll(mat_ids, roll_s, axis=-1))
+        return jnp.where(use_fwd, ok(-shift), ok(shift))
+
+    fwd_x = (lane % 16) == 0          # 8x16 subtile: +x neighbor = lane+1
+    fwd_y = lane < 16                 # +y neighbor = lane+16
+    dx = [diff(uv[0], 1, fwd_x) * w0, diff(uv[1], 1, fwd_x) * h0]
+    dy = [diff(uv[0], 16, fwd_y) * w0, diff(uv[1], 16, fwd_y) * h0]
     rho_x = jnp.sqrt(dx[0] ** 2 + dx[1] ** 2)
     rho_y = jnp.sqrt(dy[0] ** 2 + dy[1] ** 2)
-    rho = jnp.maximum(jnp.where(same, rho_x, 1.0),
-                      jnp.where(same16, rho_y, 1.0))
+    rho = jnp.maximum(jnp.where(nbr_ok(1, fwd_x), rho_x, 1.0),
+                      jnp.where(nbr_ok(16, fwd_y), rho_y, 1.0))
     return jnp.maximum(jnp.log2(jnp.maximum(rho, 1.0)), 0.0)
 
 
