@@ -639,6 +639,21 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     `origins` is f32[N/block, 3] — one point per block, consumed as SMEM
     scalars. Origin-x-triangle terms drop from [K1,R] to [K1,1] in the
     sweep (~27% fewer VPU ops).
+
+    group_gate=True (depth>=1 dispatches): the prepass also records
+    WHICH 128-lane ray groups gate each cluster and the sweep loop
+    skips non-gating groups and groups whose per-group max-t the
+    cluster's entry bound exceeds. Pure work-skipping — outputs
+    bit-identical; pays only where a block's rows diverge
+    (tools/rowgate_sim.py; closest_d1 158.5→109.2 ms at block=1024).
+
+    pregate=True (coherent depth-0 dispatches): gating moves to an XLA
+    prologue — one interval slab test per (block, cluster), sorted
+    front-to-back and streamed to the kernel through SMEM, skipping the
+    in-kernel prepass/emission/sort. Conservative superset gating —
+    outputs bit-identical; over-gates ~+9% on camera tiles but 3x+ on
+    shadow cones and scattered bounces (tools/pregate_sim.py), so use
+    at depth 0 closest only. Exclusive with group_gate.
     """
     # VKRT_NO_APPROX_RECIP resolves HERE, outside the jit, into the
     # static approx_recip argument (so it is part of the jit cache key —

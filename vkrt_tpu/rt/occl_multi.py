@@ -412,6 +412,13 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
     every block). dirs: f32[NS, 3, Nb, 128] — per-set directions over the
     SAME surface-tile wavefront. tmax: f32[NS, Nb, 128] (0 = parked).
     Returns blocked bool[NS, Nb, 128].
+
+    group_gate / pregate: same semantics as rt/dense.py trace_dense
+    (per-(set,group) gate bits / XLA-prologue work lists); BOTH are
+    default-off here — group gating regressed 2x on hardware with the
+    iota prepass (slice-prepass retest queued) and interval pregate
+    over-gates shadow cones 3x (tools/pregate_sim.py). Kept
+    bit-identical (CI) for the retests.
     """
     ns = int(light_pts.shape[0])
     nb = dirs.shape[2]
