@@ -76,3 +76,38 @@ def test_sharded_dense_matches_single_device_sponza_subset(sponza_model,
     np.testing.assert_allclose(np.asarray(fb), np.asarray(single_fb),
                                atol=1e-5)
     assert int(np.asarray(rays).sum()) == int(np.asarray(single_rays).sum())
+
+
+def test_sharded_edge_raster_matches_single_device(sponza_model,
+                                                   sponza_flat):
+    """The edge-function rasterizer under shard_map (pixel blocks split,
+    setup slabs replicated): sharded == single-device bit-exact on a
+    Sponza subset."""
+    import dataclasses
+
+    from vkrt_tpu.parallel.mesh import render_raster_frame_sharded
+    from vkrt_tpu.raster.pipeline import render_raster_frame_edge
+    from vkrt_tpu.wavefront.engine import make_backend, texture_arrays
+
+    T = 8192
+    flat = dataclasses.replace(
+        sponza_flat,
+        indices=sponza_flat.indices[:T],
+        tri_base_color=sponza_flat.tri_base_color[:T],
+        tri_metallic_roughness=sponza_flat.tri_metallic_roughness[:T],
+        tri_normal=sponza_flat.tri_normal[:T],
+        tri_submesh=sponza_flat.tri_submesh[:T])
+    backend = make_backend(flat, "dense")
+    tex = texture_arrays(sponza_model.images, flat)
+    cfg = C.RenderConfig(width=64, height=32)
+    cam = Camera(cfg.width, cfg.height)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+    vm = jnp.asarray(cam.view_matrix)
+    pm = jnp.asarray(cam.projection_matrix)
+    single = np.asarray(render_raster_frame_edge(
+        backend.tree, tex, vm, pm, cfg, msaa=1, interpret=True))
+    mesh = make_mesh()
+    sharded = np.asarray(render_raster_frame_sharded(
+        backend.tree, tex, vm, pm, cfg, mesh, msaa=1, interpret=True))
+    np.testing.assert_array_equal(sharded, single)

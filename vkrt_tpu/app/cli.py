@@ -105,7 +105,30 @@ def main(argv=None) -> int:
     from vkrt_tpu.app.metrics import FrameTimer, check_finite, profile
     from vkrt_tpu.app.state import load_state, save_state
 
-    if args.raster:
+    if args.raster and args.shard:
+        import jax
+        import jax.numpy as jnp
+
+        from vkrt_tpu.parallel.mesh import (make_mesh,
+                                            render_raster_frame_sharded)
+        from vkrt_tpu.wavefront.engine import cached_backend
+
+        mesh = make_mesh()
+        print(f"sharding raster pixels over {mesh.devices.size} devices",
+              file=sys.stderr)
+        _, tex, be = cached_backend(args.scene, args.max_texture_dim,
+                                    "dense")
+        interpret = jax.default_backend() == "cpu"
+
+        class _ShardedRaster:
+            def render(self, camera, show_fps=True):
+                return np.asarray(render_raster_frame_sharded(
+                    be.tree, tex, jnp.asarray(camera.view_matrix),
+                    jnp.asarray(camera.projection_matrix), cfg, mesh,
+                    msaa=args.msaa, interpret=interpret))
+
+        renderer = _ShardedRaster()
+    elif args.raster:
         import jax
 
         from vkrt_tpu.raster import Rasterizer

@@ -80,3 +80,50 @@ def render_frame_sharded(backend, tex, proj_inverse, view_inverse, lights,
     fb = jnp.stack([engine.untile(accum[k], hp, wp)[: cfg.height, : cfg.width]
                     for k in range(3)], axis=-1)
     return fb, ray_count[:nb]
+
+
+def render_raster_frame_sharded(tree, tex, view, proj, cfg: C.RenderConfig,
+                                mesh: Mesh, msaa: int = 1,
+                                interpret: bool = False):
+    """Distributed edge-function raster frame: identical output, pixel
+    blocks split across chips. The triangle SETUP slabs (the vertex
+    stage's output) replicate like the scene — the same policy as the
+    trace path — so the only cross-chip traffic is the framebuffer
+    gather. MSAA sample passes share one setup."""
+    import numpy as np
+
+    from vkrt_tpu.raster.edge import build_raster_setup
+    from vkrt_tpu.raster.pipeline import (MSAA8, edge_color_lanes,
+                                          sample_pixel_lanes)
+
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    wp, hp = engine._pad_dims(cfg.width, cfg.height)
+    setup, scb, clb = build_raster_setup(tree, view, proj,
+                                         cfg.width, cfg.height)
+
+    offsets = MSAA8 if msaa == 8 else np.array([[0.5, 0.5]], np.float32)
+    acc = None
+    for off in offsets:
+        px, py, inside = sample_pixel_lanes(cfg, tuple(off))
+        nb = px.shape[0]
+        # pad so each device gets a whole number of 512-pixel blocks
+        per_dev = -(-nb // (n_dev * 4)) * 4
+        pad = per_dev * n_dev - nb
+        px_p = jnp.pad(px, ((0, pad), (0, 0)))
+        py_p = jnp.pad(py, ((0, pad), (0, 0)))
+        in_p = jnp.pad(inside, ((0, pad), (0, 0)), constant_values=False)
+
+        fn = _shard_map(
+            functools.partial(edge_color_lanes, interpret=interpret),
+            mesh,
+            in_specs=(P(), P(), P(), P(), P(axis, None), P(axis, None),
+                      P(axis, None)),
+            out_specs=P(None, axis, None),
+        )
+        color = fn(tex, setup, scb, clb, px_p, py_p, in_p)[:, :nb]
+        s = jnp.stack([engine.untile(color[k], hp, wp)[: cfg.height,
+                                                       : cfg.width]
+                       for k in range(3)], axis=-1)
+        acc = s if acc is None else acc + s
+    return acc / len(offsets)

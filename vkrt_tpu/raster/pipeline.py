@@ -104,23 +104,18 @@ def render_raster_frame(backend, tex, proj_inverse, view_inverse,
     return acc / len(offsets)
 
 
-def _edge_sample(tree, tex, view, proj, cfg: C.RenderConfig, off,
-                 interpret: bool, setup, scb, clb):
-    """One MSAA sample pass through the EDGE-FUNCTION rasterizer
-    (raster/edge.py): screen-space coverage + depth test, alpha-kill as
-    depth-floor continuation rounds — no rays anywhere."""
+def edge_color_lanes(tex, setup, scb, clb, px, py, inside,
+                     interpret: bool = False):
+    """Lane-space body of one edge-rasterizer MSAA sample pass:
+    screen-space coverage + depth test, alpha-kill as depth-floor
+    continuation rounds — no rays anywhere. px/py/inside are lane-major
+    [Nb,128]; returns unlit color [3,Nb,128]. Pixel blocks are
+    independent, so this is the unit `parallel.mesh` shards across
+    chips (setup/scene replicated, pixels split)."""
     from vkrt_tpu.raster.edge import raster_edge
     from vkrt_tpu.utils import layout as L
 
-    wp, hp = engine._pad_dims(cfg.width, cfg.height)
-    gx = (jnp.arange(wp, dtype=jnp.float32) + off[0])[None, :]
-    gy = (jnp.arange(hp, dtype=jnp.float32) + off[1])[:, None]
-    px = engine.tile(jnp.broadcast_to(gx, (hp, wp)))
-    py = engine.tile(jnp.broadcast_to(gy, (hp, wp)))
-    inside = engine.tile(jnp.broadcast_to(
-        (gx < cfg.width) & (gy < cfg.height), (hp, wp)))
     shape = px.shape
-
     color = jnp.broadcast_to(jnp.asarray(CLEAR_COLOR)[:, None, None],
                              (3,) + shape)
     zfloor = jnp.where(inside, 0.0, 1.0e9)       # pads park
@@ -138,7 +133,29 @@ def _edge_sample(tree, tex, view, proj, cfg: C.RenderConfig, off,
         color = L.where3(opaque, texel[:3], color)
         # fragment kill: next round only accepts strictly deeper fragments
         zfloor = jnp.where(discarded, z, 1.0e9)
+    return color
 
+
+def sample_pixel_lanes(cfg: C.RenderConfig, off):
+    """Tiled lane-major pixel-center coords + inside mask for one MSAA
+    sample offset."""
+    wp, hp = engine._pad_dims(cfg.width, cfg.height)
+    gx = (jnp.arange(wp, dtype=jnp.float32) + off[0])[None, :]
+    gy = (jnp.arange(hp, dtype=jnp.float32) + off[1])[:, None]
+    px = engine.tile(jnp.broadcast_to(gx, (hp, wp)))
+    py = engine.tile(jnp.broadcast_to(gy, (hp, wp)))
+    inside = engine.tile(jnp.broadcast_to(
+        (gx < cfg.width) & (gy < cfg.height), (hp, wp)))
+    return px, py, inside
+
+
+def _edge_sample(tree, tex, view, proj, cfg: C.RenderConfig, off,
+                 interpret: bool, setup, scb, clb):
+    """One MSAA sample pass through the edge-function rasterizer."""
+    wp, hp = engine._pad_dims(cfg.width, cfg.height)
+    px, py, inside = sample_pixel_lanes(cfg, off)
+    color = edge_color_lanes(tex, setup, scb, clb, px, py, inside,
+                             interpret)
     return jnp.stack([engine.untile(color[k], hp, wp)[: cfg.height,
                                                       : cfg.width]
                       for k in range(3)], axis=-1)
