@@ -161,6 +161,16 @@ def main():
         "ok": bool(all(np.array_equal(a, b) for a, b in
                        zip(pg_out[False], pg_out[True])))}), flush=True)
 
+    # group_gate at depth 0: prepass-state rows gate 95% of clusters
+    # (rowgate_sim) so gating itself is near-useless — but the per-group
+    # btmax prune acts DURING the sweep as subtiles converge
+    # (nearest-first order). One timing decides.
+    cj = jax.jit(functools.partial(
+        lambda tree, o, d, tm: trace_dense(
+            tree, o, d, tm, with_attributes=True, block=1024,
+            sort=True, group_gate=True)))
+    tmr("closest_d0_b1024_gg1", cj, tree, o0, d0, tm0)
+
     # --- 3. whole production frame (new engine wiring) ------------------
     fj = jax.jit(functools.partial(render_frame, cfg=cfg))
     r = tmr("frame_config4", fj, backend, tex, pi, vi, lights, reps=3)
