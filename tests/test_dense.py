@@ -359,6 +359,37 @@ def test_group_gate_occl_multi_bit_exact(scene):
     np.testing.assert_array_equal(np.asarray(base), np.asarray(gg))
 
 
+def test_visit_order_occl_multi_bit_exact(scene):
+    """Any-hit blocked masks are visit-order independent (the tlb prunes
+    are per-entry), so the alternate sort keys (visit='mid'/'far' — the
+    likely-occluder-first experiment) must not change any output."""
+    from vkrt_tpu.rt.occl_multi import occluded_multi
+    from vkrt_tpu.utils import layout as L
+
+    v0, e1, e2, tree = scene
+    rng = np.random.default_rng(35)
+    NS, N = 4, 512
+    lights = rng.uniform(-6, 6, (NS, 3)).astype(np.float32)
+    pts = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    dirs = np.zeros((NS, 3, N // 128, 128), np.float32)
+    tm = np.zeros((NS, N // 128, 128), np.float32)
+    for s in range(NS):
+        dvec = pts - lights[s]
+        dist = np.linalg.norm(dvec, axis=1)
+        dirs[s] = np.asarray(L.to_cvec(jnp.asarray(dvec / dist[:, None])))
+        tmv = (dist - 0.001).astype(np.float32)
+        tmv[rng.random(N) < 0.3] = 0.0
+        tm[s] = np.asarray(L.to_lanes(jnp.asarray(tmv)))
+    base = occluded_multi(tree, jnp.asarray(lights), jnp.asarray(dirs),
+                          jnp.asarray(tm), block=256, interpret=True,
+                          sort=True)
+    for visit in ("mid", "far"):
+        alt = occluded_multi(tree, jnp.asarray(lights), jnp.asarray(dirs),
+                             jnp.asarray(tm), block=256, interpret=True,
+                             sort=True, visit=visit)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(alt))
+
+
 def test_pregate_closest_bit_exact(scene):
     """XLA-prologue work lists (pregate=True: interval-gated, sorted,
     SMEM-streamed — replaces the in-kernel prepass) are a conservative

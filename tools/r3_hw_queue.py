@@ -140,6 +140,19 @@ def main():
             ablate="nosweep"))
         tmr(f"shadow_d1_nosweep_gg{int(gg)}", oj, tree, lights, sd1, st1)
 
+    # --- 2c. shadow visit order (ROADMAP lever): any-hit sort keys ------
+    # d0 only (sort is off at d1 by the per-depth policy). Baseline is
+    # shadow_d0_b1024_gg0_slice above (visit="near").
+    for visit in ("mid", "far"):
+        oj = jax.jit(functools.partial(
+            occluded_multi, block=1024, sort=True, visit=visit))
+        r = tmr(f"shadow_d0_b1024_visit_{visit}", oj, tree, lights,
+                sd0, st0)
+        print(json.dumps({
+            "check": f"shadow_d0 visit={visit} mask identical",
+            "ok": bool(np.array_equal(occ_out[("d0", False)],
+                                      np.asarray(r)))}), flush=True)
+
     # --- 2b. pregate (XLA-prologue work lists) on depth-0 CLOSEST only:
     # tools/pregate_sim.py on real state — interval over-gate is +8.8%
     # for camera tiles but 3.1-3.4x for shadow cones and depth-1 (the

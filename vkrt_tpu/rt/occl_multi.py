@@ -42,10 +42,11 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                        # outputs
                        occ_out,
                        # scratch
-                       tris, sem, gated, tlb, smask, started, nlist, sc_mask,
-                       btmax, btmaxg, *t_s, n_sc: int, ns: int,
+                       tris, sem, gated, tlb, skey, smask, started, nlist,
+                       sc_mask, btmax, btmaxg, *t_s, n_sc: int, ns: int,
                        sort: bool = True, group_gate: bool = False,
-                       pregate: bool = False, ablate: str = ""):
+                       pregate: bool = False, ablate: str = "",
+                       visit: str = "near"):
     R = d_ref.shape[-1]
     NBUF = sem.shape[0]
     K1 = tris.shape[1]
@@ -187,11 +188,20 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
             good = None
             entry_min = None
             setbits = None
+            key_min = None
             for s in range(ns):
                 h, entry, hits = slab_entry(
                     s, cb[:, 0:1], cb[:, 1:2], cb[:, 2:3],
                     cb[:, 3:4], cb[:, 4:5], cb[:, 5:6])
                 e = jnp.where(h, entry, _INF)
+                if visit == "mid":
+                    # any-hit visit-order key: distance of the cluster's
+                    # entry from the segment midpoint (0.5*btmax) — a
+                    # likely-occluder-first heuristic (ROADMAP lever).
+                    # tlb stays the correctness prune either way.
+                    k_s = jnp.abs(e - 0.5 * btmax[s])
+                    key_min = (k_s if key_min is None
+                               else jnp.minimum(key_min, k_s))
                 if group_gate:
                     # bit (s*G+g) set iff any ray of 128-lane group g
                     # gates this cluster for set s (the sweep loop then
@@ -221,8 +231,14 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                     c = ctz32(m & (-m)) + word_base
                     cnt = nlist[0]
                     gated[cnt] = sidx * K2 + c
-                    tlb[cnt] = 0.9999 * jnp.sum(
+                    tval = 0.9999 * jnp.sum(
                         jnp.where(cl_sub == c, entry_min, 0.0))
+                    tlb[cnt] = tval
+                    if visit == "far":
+                        skey[cnt] = -tval
+                    elif visit == "mid":
+                        skey[cnt] = jnp.sum(
+                            jnp.where(cl_sub == c, key_min, 0.0))
                     # which segment sets gated this cluster (sweep skip)
                     smask[cnt] = jnp.sum(
                         jnp.where(cl_sub == c, setbits, 0))
@@ -272,24 +288,34 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         def rd_smask(i):
             return smask[i]
 
+    # visit != "near" sorts by the alternate skey (any-hit visit-order
+    # experiment); tlb is carried through the sort regardless because the
+    # DMA gate and per-set sweep skip prune on it.
+    kref = tlb if visit == "near" else skey
+
     def ins_body(i, _):
+        key = kref[i]
         key_t = tlb[i]
         key_g = gated[i]
         key_m = smask[i]
 
         def shift_cond(j):
-            return jnp.logical_and(j > 0, tlb[j - 1] > key_t)
+            return jnp.logical_and(j > 0, kref[j - 1] > key)
 
         def shift_body(j):
             tlb[j] = tlb[j - 1]
             gated[j] = gated[j - 1]
             smask[j] = smask[j - 1]
+            if visit != "near":
+                skey[j] = skey[j - 1]
             return j - 1
 
         j = jax.lax.while_loop(shift_cond, shift_body, i)
         tlb[j] = key_t
         gated[j] = key_g
         smask[j] = key_m
+        if visit != "near":
+            skey[j] = key
         return 0
 
     # sort=(depth==0): see rt/dense.py — nearest-first pays only for
@@ -401,11 +427,12 @@ def _sc_order_multi(tree, light_pts, dirs, ns, nblocks, block, n_sc,
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "sort",
                                              "group_gate", "pregate",
-                                             "ablate"))
+                                             "ablate", "visit"))
 def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
                    block: int = 512, interpret: bool = False,
                    sort: bool = True, group_gate: bool = False,
-                   pregate: bool = False, ablate: str = ""):
+                   pregate: bool = False, ablate: str = "",
+                   visit: str = "near"):
     """NS-segment-set occlusion trace.
 
     light_pts: f32[NS, 3] — one origin point per segment set (shared by
@@ -419,6 +446,15 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
     iota prepass (slice-prepass retest queued) and interval pregate
     over-gates shadow cones 3x (tools/pregate_sim.py). Kept
     bit-identical (CI) for the retests.
+
+    visit: insertion-sort key for the cluster visit order (only matters
+    with sort=True). "near" = nearest-first slab entry from the light
+    (tlb, the closest-hit-optimal order); "mid" = entry closest to the
+    segment midpoint 0.5*btmax; "far" = farthest-first (surface-side
+    occluders first). Any-hit outputs are visit-order independent (the
+    tlb prunes are per-entry) — CI asserts bit-equality; which order
+    terminates the sweep soonest is a hardware timing question
+    (ROADMAP "shadow visit order" lever).
     """
     ns = int(light_pts.shape[0])
     nb = dirs.shape[2]
@@ -465,7 +501,7 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
 
     kernel = functools.partial(_occl_multi_kernel, n_sc=n_sc, ns=ns,
                                sort=sort, group_gate=group_gate,
-                               pregate=pregate, ablate=ablate)
+                               pregate=pregate, ablate=ablate, visit=visit)
     d_k = dirs.reshape(ns * 3, nblocks, 1, block)
     tmax_k = tmax.reshape(ns, nblocks, 1, block)
     out_shape = jax.ShapeDtypeStruct((ns, nblocks, 1, block), jnp.int32)
@@ -503,6 +539,7 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SMEM((maxc,), jnp.int32),
             pltpu.SMEM((maxc,), jnp.float32),
+            pltpu.SMEM((maxc,), jnp.float32),    # alt visit-order sort key
             pltpu.SMEM((maxc,), jnp.int32),      # per-entry segment-set bits
             pltpu.SMEM((maxc,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
