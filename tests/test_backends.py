@@ -41,3 +41,23 @@ def test_dense_backend_matches_reference(scene):
     dense_fb, _ = render_frame(make_backend(flat, "dense"), tex, *args,
                                interpret=True)
     assert rmse(np.asarray(ref_fb), np.asarray(dense_fb)) <= 1e-3
+
+
+def test_resort_secondary_bit_exact(scene):
+    """Secondary-dispatch re-tiling (cfg.resort_secondary: octant
+    partition before reflection traces, surface-point-cell partition
+    before every shadow dispatch — wavefront/resort.py) permutes each
+    dispatch's inputs and inverse-permutes its outputs, so the frame
+    must be BIT-identical on both backends (closest hit is a per-ray
+    min, occlusion a per-ray any — order independent)."""
+    flat, tex, cam = scene
+    cfg = dataclasses.replace(C.reference_config(), width=W, height=H)
+    cfg_rs = dataclasses.replace(cfg, resort_secondary=True)
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+    for kind, interp in (("reference", False), ("dense", True)):
+        be = make_backend(flat, kind)
+        fb0, rc0 = render_frame(be, tex, *args, cfg, interpret=interp)
+        fb1, rc1 = render_frame(be, tex, *args, cfg_rs, interpret=interp)
+        np.testing.assert_array_equal(np.asarray(fb0), np.asarray(fb1))
+        np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))

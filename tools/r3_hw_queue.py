@@ -97,11 +97,11 @@ def main():
         refl = hit & (mr4[2] > C.METALLIC_THRESHOLD)
         o1 = L.where3(refl, pos, o)
         d1 = L.where3(refl, shading.reflect(d, pn), d)
-        return sd, st, o1, d1, refl
+        return sd, st, o1, d1, refl, pos, hit
 
     state_j = jax.jit(frame_state)
-    sd0, st0, o1, d1, refl = state_j(tree, tex, op, d0, active0)
-    sd1, st1, _, _, _ = state_j(tree, tex, op, d1, refl)
+    sd0, st0, o1, d1, refl, pos0, hit0 = state_j(tree, tex, op, d0, active0)
+    sd1, st1, _, _, _, pos1, hit1 = state_j(tree, tex, op, d1, refl)
     tm1 = jnp.where(refl, C.RAY_TMAX, 0.0)
 
     # --- 1. closest_d1 slice-prepass confirm (the landed path) ---------
@@ -153,6 +153,54 @@ def main():
             "ok": bool(np.array_equal(occ_out[("d0", False)],
                                       np.asarray(r)))}), flush=True)
 
+    # --- 2d. secondary-dispatch resort (wavefront/resort.py; sims on
+    # this exact state: 0.51x closest_d1, 0.40x shadow_d0, 0.147x
+    # shadow_d1 total gated-cluster sweeps — tools/dirsort_sim*.py).
+    # Timings INCLUDE the radix partition + permutes + inverse (the
+    # honest end-to-end comparator vs sections 1/2 above).
+    from vkrt_tpu.wavefront import resort as RS
+    aabb = backend.scene_aabb
+
+    def closest_rs(tree, o, d, tm, gg, srt):
+        perm = RS.radix_partition_perm(RS.octant_key(d, tm > 0.0),
+                                       RS.OCTANT_BITS)
+        inv = RS.inverse_permutation(perm)
+        r = trace_dense(tree, RS.permute_rays(o, perm),
+                        RS.permute_rays(d, perm), RS.permute_rays(tm, perm),
+                        with_attributes=True, block=1024, sort=srt,
+                        group_gate=gg)
+        return tuple(RS.permute_rays(x, inv) for x in r)
+
+    for gg, srt in ((True, False), (False, False), (False, True)):
+        cj = jax.jit(functools.partial(closest_rs, gg=gg, srt=srt))
+        r = tmr(f"closest_d1_rs_gg{int(gg)}_s{int(srt)}", cj, tree,
+                o1, d1, tm1)
+        if (gg, srt) == (True, False):
+            rs_out = [np.asarray(x) for x in r]
+            print(json.dumps({
+                "check": "closest_d1 resort outputs identical",
+                "ok": bool(all(np.array_equal(a, b) for a, b in
+                               zip(gg_out, rs_out)))}), flush=True)
+
+    def shadow_rs(tree, lights, sd, st, pos, hitm, srt):
+        sperm = RS.radix_partition_perm(RS.cell_key(pos, hitm, aabb),
+                                        RS.CELL_KEY_BITS)
+        sinv = RS.inverse_permutation(sperm)
+        occ = occluded_multi(tree, lights, RS.permute_rays(sd, sperm),
+                             RS.permute_rays(st, sperm), block=1024,
+                             sort=srt)
+        return RS.permute_rays(occ, sinv)
+
+    for depth, sdx, stx, posx, hitx in (("d0", sd0, st0, pos0, hit0),
+                                        ("d1", sd1, st1, pos1, hit1)):
+        oj = jax.jit(functools.partial(shadow_rs, srt=(depth == "d0")))
+        r = tmr(f"shadow_{depth}_rs", oj, tree, lights, sdx, stx,
+                posx, hitx)
+        print(json.dumps({
+            "check": f"shadow_{depth} resort mask identical",
+            "ok": bool(np.array_equal(occ_out[(depth, False)],
+                                      np.asarray(r)))}), flush=True)
+
     # --- 2b. pregate (XLA-prologue work lists) on depth-0 CLOSEST only:
     # tools/pregate_sim.py on real state — interval over-gate is +8.8%
     # for camera tiles but 3.1-3.4x for shadow cones and depth-1 (the
@@ -191,6 +239,17 @@ def main():
     rays = int(np.asarray(r[1]).sum())
     print(json.dumps({"frame_rays": rays,
                       "finite": bool(np.isfinite(fb).all())}), flush=True)
+
+    # same frame with every secondary dispatch resorted (bit-identical
+    # by construction — tests/test_backends.py pins it on CPU)
+    import dataclasses
+    cfg_rs = dataclasses.replace(cfg, resort_secondary=True)
+    fj2 = jax.jit(functools.partial(render_frame, cfg=cfg_rs))
+    r2 = tmr("frame_config4_resort", fj2, backend, tex, pi, vi, lights,
+             reps=3)
+    print(json.dumps({"check": "resort frame identical",
+                      "ok": bool(np.array_equal(fb, np.asarray(r2[0])))}),
+          flush=True)
 
     # --- 4. config-5 stress: refit vs full rebuild ----------------------
     from vkrt_tpu.wavefront.engine import Renderer

@@ -1,0 +1,104 @@
+"""Depth>=1 wavefront re-tiling: stable radix-partition permutations.
+
+Secondary dispatches (reflection closest, depth-1 shadows) run at ~25%
+occupancy with wide per-block ray cones — each live block sweeps ~42
+clusters vs ~8 for coherent camera tiles. Block- and row-granular
+compaction are measured dead ends (the cost is the cone, not dead-ray
+overhead — tools/block_compact_probe.py); re-SORTING live rays into
+spatially coherent blocks attacks the cone itself. Simulated on real
+wavefront state (tools/dirsort_sim.py / dirsort_sim2.py): full Morton
+sorts cut total gated-cluster sweeps to 0.51x (closest_d1) and
+0.13-0.24x (shadow_d1).
+
+The permutation is built WITHOUT lax.sort: jnp.argsort fused into the
+frame jit is a measured ~400s-remote-compile landmine (CLAUDE.md), and
+the keys here are tiny (4-10 bits). A stable LSD radix partition needs
+one cumsum + one scatter per key bit — compile-friendly and O(N) —
+and stability matters: within a bucket the pre-sort order is the
+camera-tile order, so octant-only keys inherit origin coherence for
+free (the sim's dir+org result).
+
+Used LOCALLY around a dispatch: permute the inputs, trace, apply the
+inverse permutation to the outputs. Per-ray results are order
+independent (closest hit is a per-ray min; occlusion is a per-ray any),
+so outputs are bit-identical to the unsorted dispatch (CI-pinned).
+
+Replaces the ray-sorting stage the reference's GPU scheduler performs
+implicitly in hardware (warp coherence of vkCmdTraceRaysKHR,
+ref: src/Raytracer.cpp:157); the north-star contract ("rays sorted by
+material/direction between rounds", SURVEY.md §7 layer 5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def radix_partition_perm(key: jax.Array, nbits: int) -> jax.Array:
+    """Stable ascending permutation of small integer keys.
+
+    key: i32[N] in [0, 2**nbits). Returns perm i32[N] with key[perm]
+    stably sorted — nbits passes of cumsum + unique-index scatter.
+    """
+    n = key.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    perm = iota
+    k = key.astype(jnp.int32)
+    for b in range(nbits):
+        bit = jax.lax.shift_right_logical(k, b) & 1
+        ones = jnp.cumsum(bit)                     # inclusive 1-count
+        total0 = n - ones[-1]
+        zeros = iota + 1 - ones                    # inclusive 0-count
+        pos = jnp.where(bit == 0, zeros - 1, total0 + ones - 1)
+        perm = jnp.zeros_like(perm).at[pos].set(perm, unique_indices=True)
+        k = jnp.zeros_like(k).at[pos].set(k, unique_indices=True)
+    return perm
+
+
+def inverse_permutation(perm: jax.Array) -> jax.Array:
+    n = perm.shape[0]
+    return jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(n, dtype=perm.dtype), unique_indices=True)
+
+
+def permute_rays(arr: jax.Array, perm: jax.Array) -> jax.Array:
+    """Apply a ray permutation to a lane-major array [..., Nb, 128]."""
+    flat = arr.reshape(arr.shape[:-2] + (-1,))
+    return jnp.take(flat, perm, axis=-1).reshape(arr.shape)
+
+
+def octant_key(d: jax.Array, live: jax.Array) -> jax.Array:
+    """Direction-octant key (live rays 0-7, dead 8 → sorted to the
+    tail where all-dead blocks park at one box sweep). d [3,Nb,128],
+    live bool[Nb,128] → i32[N]. 4-bit radix."""
+    dx = (d[0] < 0).astype(jnp.int32)
+    dy = (d[1] < 0).astype(jnp.int32)
+    dz = (d[2] < 0).astype(jnp.int32)
+    k = dx | (dy << 1) | (dz << 2)
+    return jnp.where(live, k, 8).reshape(-1)
+
+
+OCTANT_BITS = 4
+
+CELL_BITS_PER_AXIS = 3
+CELL_KEY_BITS = 3 * CELL_BITS_PER_AXIS + 1        # + dead-tail bit
+
+
+def cell_key(p: jax.Array, live: jax.Array, scene_aabb: jax.Array
+             ) -> jax.Array:
+    """Morton cell key of a surface point (3 bits/axis within the scene
+    AABB; dead rays → 512, the tail bucket). p [3,Nb,128], live
+    bool[Nb,128], scene_aabb f32[2,3] (a backend field — passed in, not
+    reduced in-jit: tiny-output reductions are a measured ~150s-compile
+    landmine). 10-bit radix."""
+    nbins = (1 << CELL_BITS_PER_AXIS) - 1
+    lo = scene_aabb[0]
+    span = jnp.maximum(scene_aabb[1] - scene_aabb[0], 1e-6)
+    key = jnp.zeros(p.shape[1] * p.shape[2], jnp.int32)
+    for a in range(3):
+        q = jnp.clip((p[a].reshape(-1) - lo[a]) / span[a] * (nbins + 1),
+                     0.0, float(nbins)).astype(jnp.int32)
+        for b in range(CELL_BITS_PER_AXIS):
+            key = key | (((q >> b) & 1) << (3 * b + a))
+    return jnp.where(live.reshape(-1), key, 1 << (3 * CELL_BITS_PER_AXIS))
