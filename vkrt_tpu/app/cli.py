@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "wavefront ray differentials (the reference's RT "
                         "stage always samples mip 0, so golden configs "
                         "keep this off)")
+    p.add_argument("--resort", action="store_true",
+                   help="re-tile secondary dispatches (reflection + "
+                        "shadow wavefronts) into spatially coherent ray "
+                        "blocks; bit-identical output (wavefront/"
+                        "resort.py)")
     p.add_argument("--rebuild", choices=["refit", "full"], default="refit",
                    help="per-frame accel update when the config rebuilds "
                         "(config 5): 'refit' = device AABB refit, 'full' = "
@@ -88,6 +93,8 @@ def resolve_config(args):
         overrides["enable_reflections"] = False
     if args.mip_lod:
         overrides["mip_lod"] = True
+    if args.resort:
+        overrides["resort_secondary"] = True
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 
