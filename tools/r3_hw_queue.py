@@ -1,19 +1,22 @@
 """Round-3 hardware queue — everything waiting on the axon relay, batched
 into ONE process (remote compiles don't cache across processes).
 
-  1. closest_d1 b1024 group_gate (the landed production path: masked-
-     iota prepass, hardware-proven 109.2 ms) — regression confirm after
-     the pregate/worklist refactor
-  2. shadow d1/d0 b1024 group_gate retest with the slice prepass
-     (+ nosweep ablation isolating prepass cost) — decides whether
-     occl_multi group gating ships or stays a recorded dead end
-  3. whole-frame config-4: production render_frame with the new engine
-     wiring (closest d1 = b1024+gate), timing + golden int consistency
-  4. config-5 stress e2e with rebuild=refit vs rebuild=full (BASELINE.md
+Ordered by value so an early cutoff still captures the big items:
+
+  1. closest_d1 b1024 group_gate (the landed production path) —
+     regression confirm after the pregate/worklist refactor
+  2. shadow d0/d1 gg0 baselines (today's production path + reference
+     masks for every retest)
+  3. secondary-dispatch RESORT rows (wavefront/resort.py — sims say
+     0.51x/0.40x/0.147x total sweeps; the round's biggest lever)
+  4. whole-frame config-4, plain + resorted
+  5. shadow group-gate retest with the slice prepass (+ nosweep
+     ablation); shadow visit-order keys (mid/far)
+  6. closest_d0 pregate + group-gate timings
+  7. config-5 stress e2e with rebuild=refit vs rebuild=full (BASELINE.md
      VERDICT item 7 rows)
-  5. edge-function rasterizer on hardware: compiled (non-interpret)
-     kernel, 128x96 agreement vs the ray-cast wavefront raster, then a
-     1080p msaa-1 visibility-pass timing
+  8. edge-function rasterizer on hardware: compiled kernel, 128x96
+     agreement vs the wavefront raster, 1080p visibility-pass timing
 
 Run: python -u tools/r3_hw_queue.py > /tmp/r3q.out 2>&1
 """
@@ -119,39 +122,14 @@ def main():
                       "ok": bool(all(np.array_equal(a, b) for a, b in
                                      zip(base_out, gg_out)))}), flush=True)
 
-    # --- 2. shadow retest with slice prepass + prepass ablation --------
+    # --- 2. shadow baselines (today's production path; also the
+    # reference masks for every retest below) -----------------------------
     occ_out = {}
-    for depth, sd, st in (("d1", sd1, st1), ("d0", sd0, st0)):
-        for gg in (False, True):
-            oj = jax.jit(functools.partial(
-                occluded_multi, block=1024, sort=(depth == "d0"),
-                group_gate=gg))
-            r = tmr(f"shadow_{depth}_b1024_gg{int(gg)}_slice",
-                    oj, tree, lights, sd, st)
-            occ_out[(depth, gg)] = np.asarray(r)
-    for depth in ("d1", "d0"):
-        print(json.dumps({"check": f"shadow_{depth} masks identical",
-                          "ok": bool(np.array_equal(occ_out[(depth, False)],
-                                                    occ_out[(depth, True)]))
-                          }), flush=True)
-    for gg in (False, True):
+    for depth, sd, st in (("d0", sd0, st0), ("d1", sd1, st1)):
         oj = jax.jit(functools.partial(
-            occluded_multi, block=1024, sort=False, group_gate=gg,
-            ablate="nosweep"))
-        tmr(f"shadow_d1_nosweep_gg{int(gg)}", oj, tree, lights, sd1, st1)
-
-    # --- 2c. shadow visit order (ROADMAP lever): any-hit sort keys ------
-    # d0 only (sort is off at d1 by the per-depth policy). Baseline is
-    # shadow_d0_b1024_gg0_slice above (visit="near").
-    for visit in ("mid", "far"):
-        oj = jax.jit(functools.partial(
-            occluded_multi, block=1024, sort=True, visit=visit))
-        r = tmr(f"shadow_d0_b1024_visit_{visit}", oj, tree, lights,
-                sd0, st0)
-        print(json.dumps({
-            "check": f"shadow_d0 visit={visit} mask identical",
-            "ok": bool(np.array_equal(occ_out[("d0", False)],
-                                      np.asarray(r)))}), flush=True)
+            occluded_multi, block=1024, sort=(depth == "d0")))
+        r = tmr(f"shadow_{depth}_b1024_gg0_slice", oj, tree, lights, sd, st)
+        occ_out[(depth, False)] = np.asarray(r)
 
     # --- 2d. secondary-dispatch resort (wavefront/resort.py; sims on
     # this exact state: 0.51x closest_d1, 0.40x shadow_d0, 0.147x
@@ -201,6 +179,56 @@ def main():
             "ok": bool(np.array_equal(occ_out[(depth, False)],
                                       np.asarray(r)))}), flush=True)
 
+    # --- 3. whole production frame (new engine wiring) ------------------
+    fj = jax.jit(functools.partial(render_frame, cfg=cfg))
+    r = tmr("frame_config4", fj, backend, tex, pi, vi, lights, reps=3)
+    fb = np.asarray(r[0])
+    rays = int(np.asarray(r[1]).sum())
+    print(json.dumps({"frame_rays": rays,
+                      "finite": bool(np.isfinite(fb).all())}), flush=True)
+
+    # same frame with every secondary dispatch resorted (bit-identical
+    # by construction — tests/test_backends.py pins it on CPU)
+    import dataclasses
+    cfg_rs = dataclasses.replace(cfg, resort_secondary=True)
+    fj2 = jax.jit(functools.partial(render_frame, cfg=cfg_rs))
+    r2 = tmr("frame_config4_resort", fj2, backend, tex, pi, vi, lights,
+             reps=3)
+    print(json.dumps({"check": "resort frame identical",
+                      "ok": bool(np.array_equal(fb, np.asarray(r2[0])))}),
+          flush=True)
+
+    # --- 2e. shadow group-gate retest with the slice prepass (+ nosweep
+    # ablation isolating prepass cost) — decides whether occl_multi
+    # group gating ships or stays a recorded dead end -------------------
+    for depth, sd, st in (("d1", sd1, st1), ("d0", sd0, st0)):
+        oj = jax.jit(functools.partial(
+            occluded_multi, block=1024, sort=(depth == "d0"),
+            group_gate=True))
+        r = tmr(f"shadow_{depth}_b1024_gg1_slice", oj, tree, lights, sd, st)
+        print(json.dumps({"check": f"shadow_{depth} masks identical",
+                          "ok": bool(np.array_equal(occ_out[(depth, False)],
+                                                    np.asarray(r)))}),
+              flush=True)
+    for gg in (False, True):
+        oj = jax.jit(functools.partial(
+            occluded_multi, block=1024, sort=False, group_gate=gg,
+            ablate="nosweep"))
+        tmr(f"shadow_d1_nosweep_gg{int(gg)}", oj, tree, lights, sd1, st1)
+
+    # --- 2c. shadow visit order (ROADMAP lever): any-hit sort keys ------
+    # d0 only (sort is off at d1 by the per-depth policy). Baseline is
+    # shadow_d0_b1024_gg0_slice above (visit="near").
+    for visit in ("mid", "far"):
+        oj = jax.jit(functools.partial(
+            occluded_multi, block=1024, sort=True, visit=visit))
+        r = tmr(f"shadow_d0_b1024_visit_{visit}", oj, tree, lights,
+                sd0, st0)
+        print(json.dumps({
+            "check": f"shadow_d0 visit={visit} mask identical",
+            "ok": bool(np.array_equal(occ_out[("d0", False)],
+                                      np.asarray(r)))}), flush=True)
+
     # --- 2b. pregate (XLA-prologue work lists) on depth-0 CLOSEST only:
     # tools/pregate_sim.py on real state — interval over-gate is +8.8%
     # for camera tiles but 3.1-3.4x for shadow cones and depth-1 (the
@@ -231,25 +259,6 @@ def main():
             tree, o, d, tm, with_attributes=True, block=1024,
             sort=True, group_gate=True)))
     tmr("closest_d0_b1024_gg1", cj, tree, o0, d0, tm0)
-
-    # --- 3. whole production frame (new engine wiring) ------------------
-    fj = jax.jit(functools.partial(render_frame, cfg=cfg))
-    r = tmr("frame_config4", fj, backend, tex, pi, vi, lights, reps=3)
-    fb = np.asarray(r[0])
-    rays = int(np.asarray(r[1]).sum())
-    print(json.dumps({"frame_rays": rays,
-                      "finite": bool(np.isfinite(fb).all())}), flush=True)
-
-    # same frame with every secondary dispatch resorted (bit-identical
-    # by construction — tests/test_backends.py pins it on CPU)
-    import dataclasses
-    cfg_rs = dataclasses.replace(cfg, resort_secondary=True)
-    fj2 = jax.jit(functools.partial(render_frame, cfg=cfg_rs))
-    r2 = tmr("frame_config4_resort", fj2, backend, tex, pi, vi, lights,
-             reps=3)
-    print(json.dumps({"check": "resort frame identical",
-                      "ok": bool(np.array_equal(fb, np.asarray(r2[0])))}),
-          flush=True)
 
     # --- 4. config-5 stress: refit vs full rebuild ----------------------
     from vkrt_tpu.wavefront.engine import Renderer
