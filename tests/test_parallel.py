@@ -77,6 +77,16 @@ def test_sharded_dense_matches_single_device_sponza_subset(sponza_model,
                                atol=1e-5)
     assert int(np.asarray(rays).sum()) == int(np.asarray(single_rays).sum())
 
+    # resort under shard_map: the radix partition runs per shard (each
+    # device re-tiles its own rays — no collective), and the frame is
+    # bit-identical to the unsorted SHARDED frame, which matched single.
+    import dataclasses as _dc
+    cfg_rs = _dc.replace(cfg, resort_secondary=True)
+    fb_rs, rays_rs = render_frame_sharded(backend, tex, *args, cfg_rs,
+                                          mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fb_rs), np.asarray(fb))
+    assert int(np.asarray(rays_rs).sum()) == int(np.asarray(rays).sum())
+
 
 def test_sharded_edge_raster_matches_single_device(sponza_model,
                                                    sponza_flat):
