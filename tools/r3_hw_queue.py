@@ -139,6 +139,21 @@ def main():
     from vkrt_tpu.wavefront import resort as RS
     aabb = backend.scene_aabb
 
+    # permutation construction alone (key + radix passes + inverse +
+    # one forward permute) — isolates the resort overhead from the
+    # dispatch timings below; if this is large, optimize the partition
+    # (counting-sort formulation: fewer scatters) before judging resort
+    def perm_only(d, tm, pos, hitm):
+        p1 = RS.radix_partition_perm(RS.octant_key(d, tm > 0.0),
+                                     RS.OCTANT_BITS)
+        p2 = RS.radix_partition_perm(RS.cell_key(pos, hitm, aabb),
+                                     RS.CELL_KEY_BITS)
+        return (RS.permute_rays(tm, p1), RS.inverse_permutation(p1),
+                RS.permute_rays(tm, p2), RS.inverse_permutation(p2))
+
+    tmr("resort_perm_overhead_4b_plus_10b", jax.jit(perm_only),
+        d1, tm1, pos1, hit1)
+
     def closest_rs(tree, o, d, tm, gg, srt):
         perm = RS.radix_partition_perm(RS.octant_key(d, tm > 0.0),
                                        RS.OCTANT_BITS)
