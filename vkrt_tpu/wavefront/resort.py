@@ -44,7 +44,8 @@ def radix_partition_perm(key: jax.Array, nbits: int) -> jax.Array:
     n = key.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     perm = iota
-    k = key.astype(jnp.int32)
+    key = key.astype(jnp.int32)
+    k = key
     for b in range(nbits):
         bit = jax.lax.shift_right_logical(k, b) & 1
         ones = jnp.cumsum(bit)                     # inclusive 1-count
@@ -52,7 +53,9 @@ def radix_partition_perm(key: jax.Array, nbits: int) -> jax.Array:
         zeros = iota + 1 - ones                    # inclusive 0-count
         pos = jnp.where(bit == 0, zeros - 1, total0 + ones - 1)
         perm = jnp.zeros_like(perm).at[pos].set(perm, unique_indices=True)
-        k = jnp.zeros_like(k).at[pos].set(k, unique_indices=True)
+        # current-order keys by GATHER from the original array (gathers
+        # are the fast path on TPU; one scatter per pass, not two)
+        k = key[perm]
     return perm
 
 
