@@ -78,13 +78,15 @@ def test_sharded_dense_matches_single_device_sponza_subset(sponza_model,
     assert int(np.asarray(rays).sum()) == int(np.asarray(single_rays).sum())
 
     # resort under shard_map: the radix partition runs per shard (each
-    # device re-tiles its own rays — no collective), and the frame is
-    # bit-identical to the unsorted SHARDED frame, which matched single.
+    # device re-tiles its own rays — no collective). allclose, not
+    # bit-equal: the reflection round's near-tie commits are
+    # visit-order dependent at the ~1 ulp level (wavefront/resort.py).
     import dataclasses as _dc
     cfg_rs = _dc.replace(cfg, resort_secondary=True)
     fb_rs, rays_rs = render_frame_sharded(backend, tex, *args, cfg_rs,
                                           mesh, interpret=True)
-    np.testing.assert_array_equal(np.asarray(fb_rs), np.asarray(fb))
+    np.testing.assert_allclose(np.asarray(fb_rs), np.asarray(fb),
+                               atol=1e-5)
     assert int(np.asarray(rays_rs).sum()) == int(np.asarray(rays).sum())
 
 

@@ -67,3 +67,31 @@ def test_full_rebuild_matches_refit_frame(sponza_model):
                       interpret=True, rebuild="full")
     fb2, _ = r_full.render(cam, transform=m)
     assert rmse(fb1, fb2) <= 1e-3
+
+
+def test_rebuild_with_resort(sponza_model):
+    """Per-frame full rebuild composes with the secondary-dispatch
+    resort: the rebuilt backend keeps scene_aabb (NamedTuple._replace).
+    Guards the config-5 + resort combination. allclose, not bit-equal:
+    the rotated synthetic geometry has coincident surfaces, where the
+    reflection round's NEAR-TIE commits are visit-order dependent
+    (~1 ulp t differences — see wavefront/resort.py); measured max
+    frame diff 4.2e-7 here."""
+    from vkrt_tpu.wavefront.engine import Renderer
+
+    cfg = C.RenderConfig(width=64, height=48, max_depth=2, num_lights=2,
+                         enable_shadows=True, enable_reflections=True,
+                         rebuild_per_frame=True)
+    m = rot_y(0.05)
+    cam = Camera(cfg.width, cfg.height)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+    path = "/root/reference/models/sponza/Sponza.gltf"
+    fbs = []
+    for rs in (False, True):
+        c = dataclasses.replace(cfg, resort_secondary=rs)
+        r = Renderer(path, c, backend="dense", max_texture_dim=32,
+                     interpret=True, rebuild="full")
+        fb, _ = r.render(cam, transform=m)
+        fbs.append(np.asarray(fb))
+    np.testing.assert_allclose(fbs[0], fbs[1], atol=1e-5)

@@ -66,7 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resort", action="store_true",
                    help="re-tile secondary dispatches (reflection + "
                         "shadow wavefronts) into spatially coherent ray "
-                        "blocks; bit-identical output (wavefront/"
+                        "blocks; equal output up to 1-ulp near-tie "
+                        "commits (wavefront/"
                         "resort.py)")
     p.add_argument("--rebuild", choices=["refit", "full"], default="refit",
                    help="per-frame accel update when the config rebuilds "

@@ -55,10 +55,11 @@ class RenderConfig:
     # derivatives and always samples level 0 (shader.rchit texture()),
     # so this must stay off in every golden-gated config.
     mip_lod: bool = False
-    # Re-tile depth>=1 dispatches into spatially coherent ray blocks
+    # Re-tile secondary dispatches into spatially coherent ray blocks
     # (wavefront/resort.py: octant partition before the reflection
-    # trace, surface-point cells before depth>=1 shadows). Outputs are
-    # bit-identical (CI-pinned); sims cut total gated-cluster sweeps to
+    # trace, surface-point cells before every shadow dispatch). Shadow
+    # masks are exactly order-independent; closest results equal up to
+    # ~1-ulp near-tie commits (CI); sims cut total gated-cluster sweeps to
     # 0.51x / 0.13-0.24x (tools/dirsort_sim*.py). Default off until the
     # hardware timing lands (tools/r3_hw_queue.py).
     resort_secondary: bool = False

@@ -329,7 +329,8 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
             # tail, where all-dead blocks park at one box sweep);
             # within a bucket the camera-tile order survives (stable),
             # so origins stay coherent too. Outputs inverse-permuted —
-            # bit-identical to the unsorted dispatch (per-ray min).
+            # equal to the unsorted dispatch up to ~1-ulp near-tie
+            # commits (wavefront/resort.py docstring).
             # Sim: 0.51x total gated-cluster sweeps (tools/dirsort_sim*).
             rs_closest = cfg.resort_secondary and _depth >= 1
             if rs_closest:

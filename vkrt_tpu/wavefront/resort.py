@@ -19,9 +19,17 @@ camera-tile order, so octant-only keys inherit origin coherence for
 free (the sim's dir+org result).
 
 Used LOCALLY around a dispatch: permute the inputs, trace, apply the
-inverse permutation to the outputs. Per-ray results are order
-independent (closest hit is a per-ray min; occlusion is a per-ray any),
-so outputs are bit-identical to the unsorted dispatch (CI-pinned).
+inverse permutation to the outputs. Occlusion is a per-ray ANY —
+blocked masks are exactly visit-order independent (CI-pinned
+bit-equal). Closest hit is a per-ray MIN, order-independent up to
+NEAR-TIE commits: when two triangles intersect within the commit
+comparison's float rounding (shared edges, coincident surfaces), the
+cluster visit order — which depends on block composition — picks the
+winner, so t can differ by ~1 ulp and the attribute winner can flip
+between equally valid intersections (measured: ≤4.2e-7 frame diff on
+a rotated rebuild with coincident synthetic geometry; 0 on the static
+scene). Frames with reflections are therefore asserted allclose
+(atol 1e-5), shadow-only frames bit-equal.
 
 Replaces the ray-sorting stage the reference's GPU scheduler performs
 implicitly in hardware (warp coherence of vkCmdTraceRaysKHR,
