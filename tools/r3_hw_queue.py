@@ -197,6 +197,10 @@ def main():
             "check": f"shadow_{depth} resort mask identical",
             "ok": bool(np.array_equal(occ_out[(depth, False)],
                                       np.asarray(r)))}), flush=True)
+    # resort changes the d1 sort=False tradeoff (packed blocks are
+    # coherent now) — one timing decides whether nearest-first returns
+    oj = jax.jit(functools.partial(shadow_rs, srt=True))
+    tmr("shadow_d1_rs_sorted", oj, tree, lights, sd1, st1, pos1, hit1)
 
     # --- 3. whole production frame (new engine wiring) ------------------
     fj = jax.jit(functools.partial(render_frame, cfg=cfg))
