@@ -54,7 +54,9 @@ def test_resort_secondary_matches_unsorted(scene):
     within float rounding) are visit-order dependent at the ~1 ulp
     level (see wavefront/resort.py)."""
     flat, tex, cam = scene
-    cfg = dataclasses.replace(C.reference_config(), width=W, height=H)
+    # pin the unsorted baseline explicitly (resort defaults ON)
+    cfg = dataclasses.replace(C.reference_config(), width=W, height=H,
+                              resort_secondary=False)
     args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
             jnp.asarray(C.LIGHT_POSITIONS))
     cfg_sh = dataclasses.replace(cfg, enable_reflections=False)

@@ -61,7 +61,8 @@ def test_sharded_dense_matches_single_device_sponza_subset(sponza_model,
     tex = texture_arrays(sponza_model.images, flat)
 
     cfg = C.RenderConfig(width=64, height=32, max_depth=2, num_lights=2,
-                         enable_shadows=True, enable_reflections=True)
+                         enable_shadows=True, enable_reflections=True,
+                         resort_secondary=False)  # baseline pinned (A/B)
     cam = Camera(cfg.width, cfg.height)
     cam.set_position(C.CAMERA_START_POSITION)
     cam.set_rotation(C.CAMERA_START_ROTATION)

@@ -202,7 +202,10 @@ def main():
     oj = jax.jit(functools.partial(shadow_rs, srt=True))
     tmr("shadow_d1_rs_sorted", oj, tree, lights, sd1, st1, pos1, hit1)
 
-    # --- 3. whole production frame (new engine wiring) ------------------
+    # --- 3. whole production frame (new engine wiring); resort pinned
+    # OFF here and ON below so the A/B holds whatever the config default
+    import dataclasses
+    cfg = dataclasses.replace(cfg, resort_secondary=False)
     fj = jax.jit(functools.partial(render_frame, cfg=cfg))
     r = tmr("frame_config4", fj, backend, tex, pi, vi, lights, reps=3)
     fb = np.asarray(r[0])
@@ -213,7 +216,6 @@ def main():
     # same frame with every secondary dispatch resorted (allclose: the
     # reflection round's near-tie commits are visit-order dependent at
     # ~1 ulp — tests/test_backends.py pins the contract on CPU)
-    import dataclasses
     cfg_rs = dataclasses.replace(cfg, resort_secondary=True)
     fj2 = jax.jit(functools.partial(render_frame, cfg=cfg_rs))
     r2 = tmr("frame_config4_resort", fj2, backend, tex, pi, vi, lights,

@@ -64,11 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "stage always samples mip 0, so golden configs "
                         "keep this off)")
     p.add_argument("--resort", action="store_true",
-                   help="re-tile secondary dispatches (reflection + "
-                        "shadow wavefronts) into spatially coherent ray "
-                        "blocks; equal output up to 1-ulp near-tie "
-                        "commits (wavefront/"
-                        "resort.py)")
+                   help="force-enable the secondary-dispatch resort "
+                        "(re-tiles reflection + shadow wavefronts into "
+                        "coherent ray blocks; on by default — "
+                        "wavefront/resort.py)")
+    p.add_argument("--no-resort", action="store_true",
+                   help="disable the secondary-dispatch resort (A/B "
+                        "escape hatch; output equal up to 1-ulp "
+                        "near-tie commits)")
     p.add_argument("--rebuild", choices=["refit", "full"], default="refit",
                    help="per-frame accel update when the config rebuilds "
                         "(config 5): 'refit' = device AABB refit, 'full' = "
@@ -96,6 +99,8 @@ def resolve_config(args):
         overrides["mip_lod"] = True
     if args.resort:
         overrides["resort_secondary"] = True
+    if args.no_resort:
+        overrides["resort_secondary"] = False
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 

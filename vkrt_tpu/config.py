@@ -59,10 +59,14 @@ class RenderConfig:
     # (wavefront/resort.py: octant partition before the reflection
     # trace, surface-point cells before every shadow dispatch). Shadow
     # masks are exactly order-independent; closest results equal up to
-    # ~1-ulp near-tie commits (CI); sims cut total gated-cluster sweeps to
-    # 0.51x / 0.13-0.24x (tools/dirsort_sim*.py). Default off until the
-    # hardware timing lands (tools/r3_hw_queue.py).
-    resort_secondary: bool = False
+    # ~1-ulp near-tie commits (CI); sims cut total gated-cluster sweeps
+    # to 0.51x / 0.40x / 0.13-0.28x (tools/dirsort_sim*.py) — the
+    # shadow win is mostly ray-level OCCUPANCY (7.7x fewer dispatched
+    # blocks at depth 1), the most layout-robust kind. Default ON
+    # sim-backed; the hardware A/B is queued (tools/r3_hw_queue.py
+    # times both and the permutation overhead in isolation — revisit
+    # this default with that output).
+    resort_secondary: bool = True
 
     @property
     def resolution(self) -> Tuple[int, int]:
