@@ -76,3 +76,32 @@ def test_resort_secondary_matches_unsorted(scene):
                                            np.asarray(fb1), atol=1e-5)
             np.testing.assert_array_equal(np.asarray(rc0),
                                           np.asarray(rc1))
+
+
+def test_recheck_secondary_matches_baseline(scene):
+    """Two-level pregate (cfg.recheck_secondary: interval prologue +
+    in-kernel per-ray re-check at DMA-issue time, rt/dense.py
+    pregate="recheck") replaces the in-kernel prepass for depth>=1
+    closest and every shadow dispatch. Occlusion is visit-order
+    independent → the shadow-only frame is BIT-identical; frames with
+    reflections are allclose (near-tie commits, same contract as the
+    resort). Runs on the dense backend — the only one with a gated
+    kernel; ReferenceBackend accepts and ignores the flag."""
+    flat, tex, cam = scene
+    cfg = dataclasses.replace(C.reference_config(), width=W, height=H,
+                              resort_secondary=False,
+                              recheck_secondary=False)
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+    cfg_sh = dataclasses.replace(cfg, enable_reflections=False)
+    be = make_backend(flat, "dense")
+    for base_cfg, exact in ((cfg_sh, True), (cfg, False)):
+        cfg_rc = dataclasses.replace(base_cfg, recheck_secondary=True)
+        fb0, rc0 = render_frame(be, tex, *args, base_cfg, interpret=True)
+        fb1, rc1 = render_frame(be, tex, *args, cfg_rc, interpret=True)
+        if exact:
+            np.testing.assert_array_equal(np.asarray(fb0), np.asarray(fb1))
+        else:
+            np.testing.assert_allclose(np.asarray(fb0), np.asarray(fb1),
+                                       atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))

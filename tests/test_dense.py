@@ -443,3 +443,85 @@ def test_pregate_occl_multi_bit_exact(scene):
                         jnp.asarray(tm), block=256, interpret=True,
                         pregate=True)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(pg))
+
+
+def test_recheck_closest_bit_exact(scene):
+    """Two-level pregate ("recheck": interval prologue nominates, the
+    kernel re-tests per-ray at DMA-issue time) must match the in-kernel
+    per-ray prepass bit-for-bit on scattered wavefronts — the shape it
+    exists for — with and without group_gate, attributes included."""
+    v0, e1, e2, tree = scene
+    rng = np.random.default_rng(47)
+    o, d = make_rays(n_rays=1024, seed=47)
+    tmax = np.where(rng.uniform(size=1024) < 0.4, 0.0, 1e3).astype(np.float32)
+    for gg in (False, True):
+        base = trace_dense(tree, jnp.asarray(o), jnp.asarray(d),
+                           jnp.asarray(tmax), block=256, interpret=True,
+                           with_attributes=True, sort=False, group_gate=gg)
+        rc = trace_dense(tree, jnp.asarray(o), jnp.asarray(d),
+                         jnp.asarray(tmax), block=256, interpret=True,
+                         with_attributes=True, sort=False, group_gate=gg,
+                         pregate="recheck")
+        for a, b in zip(base, rc):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # single-segment occlusion flavor (any-hit: order-independent)
+    bocc = trace_dense(tree, jnp.asarray(o), jnp.asarray(d),
+                       jnp.asarray(tmax), block=256, interpret=True,
+                       occlusion=True, sort=False)
+    rocc = trace_dense(tree, jnp.asarray(o), jnp.asarray(d),
+                       jnp.asarray(tmax), block=256, interpret=True,
+                       occlusion=True, sort=False, pregate="recheck")
+    np.testing.assert_array_equal(np.asarray(bocc[1]) >= 0,
+                                  np.asarray(rocc[1]) >= 0)
+    # sorted flavor (coherent depth-0 shape): scratch copy + in-kernel
+    # nearest-first insertion sort by the interval bound
+    o0 = np.tile(np.array([[0, 0, -12]], np.float32), (1024, 1))
+    rng2 = np.random.default_rng(49)
+    ang = rng2.uniform(-0.25, 0.25, (1024, 2)).astype(np.float32)
+    d0 = np.stack([np.sin(ang[:, 0]), np.sin(ang[:, 1]),
+                   np.cos(ang[:, 0]) * np.cos(ang[:, 1])], 1)
+    d0 = (d0 / np.linalg.norm(d0, axis=1, keepdims=True)).astype(np.float32)
+    base = trace_dense(tree, jnp.asarray(o0), jnp.asarray(d0),
+                       jnp.asarray(tmax), block=256, interpret=True,
+                       with_attributes=True, sort=True)
+    rc = trace_dense(tree, jnp.asarray(o0), jnp.asarray(d0),
+                     jnp.asarray(tmax), block=256, interpret=True,
+                     with_attributes=True, sort=True, pregate="recheck")
+    for a, b in zip(base, rc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_recheck_occl_multi_bit_exact(scene):
+    """Two-level pregate in the multi-segment shadow kernel: per-ray
+    per-set re-checks rebuild the segment-set (and group) bits — blocked
+    masks bit-equal to the in-kernel prepass."""
+    from vkrt_tpu.rt.occl_multi import occluded_multi
+    from vkrt_tpu.utils import layout as L
+
+    v0, e1, e2, tree = scene
+    rng = np.random.default_rng(48)
+    NS, N = 4, 512
+    lights = rng.uniform(-6, 6, (NS, 3)).astype(np.float32)
+    pts = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    dirs = np.zeros((NS, 3, N // 128, 128), np.float32)
+    tm = np.zeros((NS, N // 128, 128), np.float32)
+    for s in range(NS):
+        dvec = pts - lights[s]
+        dist = np.linalg.norm(dvec, axis=1)
+        dirs[s] = np.asarray(L.to_cvec(jnp.asarray(dvec / dist[:, None])))
+        tmv = (dist - 0.001).astype(np.float32)
+        tmv[rng.random(N) < 0.3] = 0.0
+        tm[s] = np.asarray(L.to_lanes(jnp.asarray(tmv)))
+    base = occluded_multi(tree, jnp.asarray(lights), jnp.asarray(dirs),
+                          jnp.asarray(tm), block=256, interpret=True,
+                          sort=False)
+    for gg in (False, True):
+        rc = occluded_multi(tree, jnp.asarray(lights), jnp.asarray(dirs),
+                            jnp.asarray(tm), block=256, interpret=True,
+                            sort=False, group_gate=gg, pregate="recheck")
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(rc))
+    # sorted flavor (depth-0 shadow shape)
+    rc = occluded_multi(tree, jnp.asarray(lights), jnp.asarray(dirs),
+                        jnp.asarray(tm), block=256, interpret=True,
+                        sort=True, pregate="recheck")
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(rc))

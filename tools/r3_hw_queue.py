@@ -202,6 +202,88 @@ def main():
     oj = jax.jit(functools.partial(shadow_rs, srt=True))
     tmr("shadow_d1_rs_sorted", oj, tree, lights, sd1, st1, pos1, hit1)
 
+    # --- 2g. two-level pregate ("recheck"): interval prologue nominates
+    # candidates (cumsum partition, no argsort), kernel re-tests each
+    # per-ray at DMA-issue time — replaces the in-kernel per-ray prepass
+    # + scalar emission (+ sort). Timings INCLUDE the prologue. Sims:
+    # interval over-gates secondaries 1.7-5x, but the re-check costs
+    # ~1-2% of a sweep per candidate — the prepass share (nosweep rows
+    # below) bounds the win. CI: bit-exact both kernels (tests/
+    # test_dense.py::test_recheck_*).
+    def closest_rc(tree, o, d, tm, gg):
+        return trace_dense(tree, o, d, tm, with_attributes=True,
+                           block=1024, sort=False, group_gate=gg,
+                           pregate="recheck")
+
+    for gg in (True, False):
+        cj = jax.jit(functools.partial(closest_rc, gg=gg))
+        r = tmr(f"closest_d1_rc_gg{int(gg)}", cj, tree, o1, d1, tm1)
+        if gg:
+            rc_out = [np.asarray(x) for x in r]
+            tdiff = float(np.abs(gg_out[0] - rc_out[0]).max())
+            print(json.dumps({"check": "closest_d1 recheck vs gate",
+                              "t_max_abs_diff": tdiff,
+                              "ok": bool(tdiff <= 1e-4)}), flush=True)
+
+    def closest_rs_rc(tree, o, d, tm):
+        # recheck + resort composed — the candidate production point
+        perm = RS.radix_partition_perm(RS.octant_key(d, tm > 0.0),
+                                       RS.OCTANT_BITS)
+        inv = RS.inverse_permutation(perm)
+        r = trace_dense(tree, RS.permute_rays(o, perm),
+                        RS.permute_rays(d, perm), RS.permute_rays(tm, perm),
+                        with_attributes=True, block=1024, sort=False,
+                        group_gate=True, pregate="recheck")
+        return tuple(RS.permute_rays(x, inv) for x in r)
+
+    tmr("closest_d1_rs_rc_gg1", jax.jit(closest_rs_rc), tree, o1, d1, tm1)
+
+    def shadow_rs_rc(tree, lights, sd, st, pos, hitm, gg):
+        sperm = RS.radix_partition_perm(RS.cell_key(pos, hitm, aabb),
+                                        RS.CELL_KEY_BITS)
+        sinv = RS.inverse_permutation(sperm)
+        occ = occluded_multi(tree, lights, RS.permute_rays(sd, sperm),
+                             RS.permute_rays(st, sperm), block=1024,
+                             sort=False, group_gate=gg, pregate="recheck")
+        return RS.permute_rays(occ, sinv)
+
+    for depth, sdx, stx, posx, hitx in (("d0", sd0, st0, pos0, hit0),
+                                        ("d1", sd1, st1, pos1, hit1)):
+        oj = jax.jit(functools.partial(
+            occluded_multi, block=1024, sort=False, pregate="recheck"))
+        r = tmr(f"shadow_{depth}_rc", oj, tree, lights, sdx, stx)
+        print(json.dumps({
+            "check": f"shadow_{depth} recheck mask identical",
+            "ok": bool(np.array_equal(occ_out[(depth, False)],
+                                      np.asarray(r)))}), flush=True)
+        oj = jax.jit(functools.partial(shadow_rs_rc, gg=False))
+        r = tmr(f"shadow_{depth}_rs_rc", oj, tree, lights, sdx, stx,
+                posx, hitx)
+        print(json.dumps({
+            "check": f"shadow_{depth} resort+recheck mask identical",
+            "ok": bool(np.array_equal(occ_out[(depth, False)],
+                                      np.asarray(r)))}), flush=True)
+    # group-gated recheck shadow: the cheap per-(set,group) bits now
+    # come from the [1,R] re-check, not a [K2,R] prepass re-read — the
+    # form that made gg regress 2x is gone. One row decides.
+    oj = jax.jit(functools.partial(occluded_multi, block=1024, sort=False,
+                                   group_gate=True, pregate="recheck"))
+    r = tmr("shadow_d1_rc_gg1", oj, tree, lights, sd1, st1)
+    print(json.dumps({"check": "shadow_d1 recheck+gg mask identical",
+                      "ok": bool(np.array_equal(occ_out[("d1", False)],
+                                                np.asarray(r)))}),
+          flush=True)
+    # coherent d0 flavor: recheck + in-kernel interval sort (scratch
+    # copy + nearest-first) — replaces the d0 prepass + emission too if
+    # it wins over shadow_d0_b1024_gg0_slice above
+    oj = jax.jit(functools.partial(occluded_multi, block=1024, sort=True,
+                                   pregate="recheck"))
+    r = tmr("shadow_d0_rc_sorted", oj, tree, lights, sd0, st0)
+    print(json.dumps({"check": "shadow_d0 recheck-sorted mask identical",
+                      "ok": bool(np.array_equal(occ_out[("d0", False)],
+                                                np.asarray(r)))}),
+          flush=True)
+
     # --- 3. whole production frame (new engine wiring); resort pinned
     # OFF here and ON below so the A/B holds whatever the config default
     import dataclasses
@@ -222,6 +304,17 @@ def main():
              reps=3)
     fdiff = float(np.abs(fb - np.asarray(r2[0])).max())
     print(json.dumps({"check": "resort frame matches",
+                      "max_abs_diff": fdiff,
+                      "ok": bool(fdiff <= 1e-4)}), flush=True)
+
+    # resort + recheck frame (both levers on — the candidate default)
+    cfg_rr = dataclasses.replace(cfg, resort_secondary=True,
+                                 recheck_secondary=True)
+    fj3 = jax.jit(functools.partial(render_frame, cfg=cfg_rr))
+    r3 = tmr("frame_config4_resort_recheck", fj3, backend, tex, pi, vi,
+             lights, reps=3)
+    fdiff = float(np.abs(fb - np.asarray(r3[0])).max())
+    print(json.dumps({"check": "resort+recheck frame matches",
                       "max_abs_diff": fdiff,
                       "ok": bool(fdiff <= 1e-4)}), flush=True)
 
@@ -286,6 +379,17 @@ def main():
             tree, o, d, tm, with_attributes=True, block=1024,
             sort=True, group_gate=True)))
     tmr("closest_d0_b1024_gg1", cj, tree, o0, d0, tm0)
+
+    # recheck at depth 0 (sorted flavor): vs both closest_d0 rows above
+    cj = jax.jit(functools.partial(
+        lambda tree, o, d, tm: trace_dense(
+            tree, o, d, tm, with_attributes=True, block=1024,
+            sort=True, pregate="recheck")))
+    r = tmr("closest_d0_b1024_rc_sorted", cj, tree, o0, d0, tm0)
+    print(json.dumps({
+        "check": "closest_d0 recheck outputs identical",
+        "ok": bool(all(np.array_equal(a, np.asarray(b)) for a, b in
+                       zip(pg_out[False], r)))}), flush=True)
 
     # --- 4. config-5 stress: refit vs full rebuild ----------------------
     from vkrt_tpu.wavefront.engine import Renderer

@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the secondary-dispatch resort (A/B "
                         "escape hatch; output equal up to 1-ulp "
                         "near-tie commits)")
+    p.add_argument("--recheck", action="store_true",
+                   help="two-level pregate for secondary dispatches "
+                        "(interval prologue + in-kernel per-ray re-check "
+                        "at DMA-issue time; off by default until the "
+                        "hardware A/B — rt/dense.py pregate='recheck')")
     p.add_argument("--rebuild", choices=["refit", "full"], default="refit",
                    help="per-frame accel update when the config rebuilds "
                         "(config 5): 'refit' = device AABB refit, 'full' = "
@@ -101,6 +106,8 @@ def resolve_config(args):
         overrides["resort_secondary"] = True
     if args.no_resort:
         overrides["resort_secondary"] = False
+    if args.recheck:
+        overrides["recheck_secondary"] = True
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 
@@ -174,14 +181,19 @@ def main(argv=None) -> int:
 
         renderer = _Sharded()
     else:
+        import jax
+
         from vkrt_tpu.wavefront.engine import Renderer
         # quantize on device (u8 fb + scalar ray count — the host link is
         # slow) unless the caller needs the f32 image on the host
         quantize = not args.check_finite and not (
             args.output and args.output.endswith(".npy"))
+        # Pallas kernels need interpret mode off-TPU (same auto-detect as
+        # the raster paths; the reference backend ignores the flag)
         renderer = Renderer(args.scene, cfg, backend=args.backend,
                             max_texture_dim=args.max_texture_dim,
-                            quantize=quantize, rebuild=args.rebuild)
+                            quantize=quantize, rebuild=args.rebuild,
+                            interpret=jax.default_backend() == "cpu")
 
     start_frame = 0
     if args.checkpoint and os.path.exists(args.checkpoint):

@@ -67,6 +67,16 @@ class RenderConfig:
     # times both and the permutation overhead in isolation — revisit
     # this default with that output).
     resort_secondary: bool = True
+    # Two-level pregate for secondary dispatches (depth>=1 closest +
+    # every shadow pass): the interval prologue nominates candidate
+    # clusters (cumsum partition, no argsort) and the kernel re-tests
+    # each per-ray at DMA-issue time, replacing the in-kernel per-ray
+    # prepass + scalar emission + sort (rt/dense.py pregate="recheck").
+    # Occlusion outputs bit-identical; closest equal up to ~1-ulp
+    # near-tie commits (visit order differs — same contract as the
+    # resort). Default OFF until the hardware A/B lands
+    # (tools/r3_hw_queue.py recheck rows).
+    recheck_secondary: bool = False
 
     @property
     def resolution(self) -> Tuple[int, int]:

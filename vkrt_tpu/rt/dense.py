@@ -69,6 +69,51 @@ def _safe_inv(x):
     return 1.0 / jnp.where(jnp.abs(x) < tiny, jnp.where(x < 0, -tiny, tiny), x)
 
 
+def _partition_worklists(gate, tlb, extra=None):
+    """Compact gated clusters to the front WITHOUT sorting: a stable
+    cumsum partition (one scatter), NOT argsort — fusing lax.sort into
+    the frame jit is the measured ~400s-remote-compile landmine
+    (CLAUDE.md). Used by pregate="recheck", which refines per-entry t
+    bounds in-kernel at DMA-issue time, so a front-to-back prologue
+    order is not load-bearing there (secondary dispatches run
+    sort=False anyway — ROADMAP per-depth sort policy)."""
+    nblocks, maxc = gate.shape
+    g = gate.astype(jnp.int32)
+    iota = jnp.arange(maxc, dtype=jnp.int32)[None, :]
+    ones = jnp.cumsum(g, axis=1)                   # inclusive gated count
+    count = ones[:, -1]
+    pos = jnp.where(gate, ones - 1, count[:, None] + iota - ones)
+    rows = jnp.broadcast_to(
+        jnp.arange(nblocks, dtype=jnp.int32)[:, None], pos.shape)
+    order = jnp.zeros_like(pos).at[rows, pos].set(
+        jnp.broadcast_to(iota, pos.shape), unique_indices=True)
+    tlb_sorted = jnp.take_along_axis(jnp.where(gate, tlb, 0.0), order,
+                                     axis=1)
+    cp = -(-maxc // 64) * 64
+    pad = cp - maxc
+    order_p = jnp.pad(order, ((0, 0), (0, pad)))
+    tlb_p = jnp.pad(tlb_sorted, ((0, 0), (0, pad)))
+    count8 = jnp.broadcast_to(count[:, None, None], (nblocks, 1, 8))
+    out = (order_p.reshape(nblocks, 1, cp), tlb_p.reshape(nblocks, 1, cp),
+           count8)
+    if extra is not None:
+        ex = jnp.take_along_axis(extra, order, axis=1)
+        out = out + (jnp.pad(ex, ((0, 0), (0, pad)))
+                     .reshape(nblocks, 1, cp),)
+    return out
+
+
+def _cluster_bounds_smem(tree):
+    """Flat per-cluster AABB table [6, maxc] (lo xyz, hi xyz) — the
+    SMEM operand pregate="recheck" reads per work-list entry (dynamic
+    scalar SMEM indexing; cl_boxes lives in VMEM where dynamic-lane
+    scalar reads are a Mosaic no-go)."""
+    maxc = tree.tri_data.shape[0]
+    lo = [tree.cl_boxes[:, a, :].reshape(-1)[:maxc] for a in range(3)]
+    hi = [tree.cl_boxes[:, a + 3, :].reshape(-1)[:maxc] for a in range(3)]
+    return jnp.stack(lo + hi)
+
+
 def _pregate_worklists(tree, origins, dirs, tmax, *, block: int,
                        point_origin: bool):
     """XLA-prologue work lists for coherent dispatches (pregate=True).
@@ -190,7 +235,7 @@ def _pack_worklists(gate, tlb, extra=None):
 
 
 def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
-                  wl_order, wl_tlb, wl_count, tri_hbm,
+                  wl_order, wl_tlb, wl_count, clb, tri_hbm,
                   # outputs
                   t_out, slot_out, u_out, v_out, attr_out, stats_out,
                   # scratch
@@ -200,7 +245,8 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                   *, n_sc: int, occlusion: bool, with_attributes: bool,
                   stats: bool, point_origin: bool, approx_recip: bool,
                   sort: bool = True, group_gate: bool = False,
-                  pregate: bool = False, ablate: str = ""):
+                  pregate: str = "", ablate: str = ""):
+    recheck = pregate == "recheck"
     R = d_ref.shape[-1]           # rays per block, on lanes
     NBUF = sem.shape[0]           # per-cluster DMA pipeline depth
     K1 = tris.shape[1]            # triangles per cluster (from the build)
@@ -478,16 +524,40 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
     # skips sort+DMA+sweeps; "nodma" adds the sort back; "nosweep" runs
     # everything but the MT sweeps. Production always passes "".
     if pregate:
-        # pregate=True: the XLA prologue already gated, bounded and
-        # sorted the cluster work list (_pregate_worklists) — the kernel
-        # reads it from SMEM inputs and skips the whole prepass
+        # pregate: the XLA prologue already gated and bounded the
+        # cluster work list (_pregate_worklists / _partition_worklists)
+        # — the kernel reads it from SMEM inputs and skips the whole
+        # prepass. "interval" trusts the (conservative, sorted) interval
+        # bounds; "recheck" re-tests each entry per-ray at DMA-issue
+        # time and refines the bound in the tlb scratch.
         count = wl_count[0, 0, 0]
 
-        def rd_gated(i):
-            return wl_order[0, 0, i]
+        if recheck and sort:
+            # coherent-dispatch flavor: copy the candidate list into
+            # scratch and nearest-first insertion-sort it by the
+            # INTERVAL bound (the per-ray refinement happens later, at
+            # issue time) — short lists at depth 0, and visiting
+            # near-first shrinks btmax early exactly as the in-kernel
+            # prepass path does
+            def cp_body(i, _):
+                gated[i] = wl_order[0, 0, i]
+                tlb[i] = wl_tlb[0, 0, i]
+                return 0
 
-        def rd_tlb(i):
-            return wl_tlb[0, 0, i]
+            jax.lax.fori_loop(0, count, cp_body, 0)
+
+            def rd_gated(i):
+                return gated[i]
+        else:
+            def rd_gated(i):
+                return wl_order[0, 0, i]
+
+        if recheck:
+            def rd_tlb(i):
+                return tlb[i]            # refined at DMA-issue time
+        else:
+            def rd_tlb(i):
+                return wl_tlb[0, 0, i]
     elif ablate == "onlysc":
         nlist[0] = 0
         count = nlist[0]
@@ -534,8 +604,52 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
             gmask[j] = key_m
         return 0
 
-    if sort and not pregate and ablate not in ("nodma_nosort", "nosort"):
+    if (sort and (not pregate or recheck)
+            and ablate not in ("nodma_nosort", "nosort")):
         jax.lax.fori_loop(1, count, ins_body, 0)
+
+    def recheck_issue(j):
+        """pregate="recheck": ONE per-ray [1,R] slab test of work-list
+        entry j's cluster box (bounds scalar-read from the SMEM clb
+        table) against the CURRENT t state decides its DMA + sweep.
+        The interval prologue over-gates scattered secondaries 1.7-5x
+        (tools/pregate_sim.py / resort_pregate_sim.py) because a block
+        interval has no per-ray `tn <= tmax(ray)` clause — this re-check
+        IS that clause, at ~1-2% of a sweep's cost, and replaces the
+        whole in-kernel prepass (dense [K2,R] box tests per gated SC +
+        scalar emission). Also refines the entry bound to the per-ray
+        min (tlb[j] — the interval bound is looser) and records the
+        gating ray groups (gmask[j]) for the group_gate sweep skip."""
+        c = wl_order[0, 0, j]
+        t0x = (clb[0, c] - ox) * ix
+        t1x = (clb[3, c] - ox) * ix
+        t0y = (clb[1, c] - oy) * iy
+        t1y = (clb[4, c] - oy) * iy
+        t0z = (clb[2, c] - oz) * iz
+        t1z = (clb[5, c] - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        # 0.9999 guards f32 rounding of tn against the shrunken t state
+        # (same guard class as the emitted-tlb prune) — the prune can
+        # never discard a boundary hit
+        hit = ((tn <= tf) & (tf >= TMIN) & (0.9999 * tn <= t_s[:])
+               & (t_s[:] > TMIN))
+        entry = jnp.min(jnp.where(hit, tn, _INF))
+        ok = jnp.any(hit)
+        started[j] = ok.astype(jnp.int32)
+        tlb[j] = 0.9999 * entry
+        if group_gate:
+            lane_g = jax.lax.broadcasted_iota(jnp.int32, hit.shape,
+                                              1) // LANES
+            gw = jnp.int32(0)
+            for g in range(G):
+                any_g = jnp.any(hit & (lane_g == g))
+                gw = gw | jnp.where(any_g, jnp.int32(1 << g), 0)
+            gmask[j] = gw
 
     def cluster_dmas(i, slot):
         """The per-cluster copies (a list so further per-cluster streams
@@ -555,19 +669,28 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         for j in range(NBUF - 1):
             @pl.when(j < count)
             def _(j=j):
-                started[j] = 1
-                for dma in cluster_dmas(j, j % NBUF):
-                    dma.start()
+                if recheck:
+                    recheck_issue(j)
+                else:
+                    started[j] = 1
+
+                @pl.when(started[j] == 1)
+                def _(j=j):
+                    for dma in cluster_dmas(j, j % NBUF):
+                        dma.start()
 
         def cl_body(i, _):
             j = i + NBUF - 1
 
             @pl.when(j < count)
             def _():
-                go = rd_tlb(j) < btmax[0]         # issue-time scalar prune
-                started[j] = go.astype(jnp.int32)
+                if recheck:
+                    recheck_issue(j)
+                else:
+                    go = rd_tlb(j) < btmax[0]     # issue-time scalar prune
+                    started[j] = go.astype(jnp.int32)
 
-                @pl.when(go)
+                @pl.when(started[j] == 1)
                 def _():
                     for dma in cluster_dmas(j, jax.lax.rem(j, NBUF)):
                         dma.start()
@@ -618,7 +741,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                 with_attributes: bool = False, interpret: bool = False,
                 stats: bool = False, point_origin: bool = False,
                 approx_recip: bool = True, sort: bool = True,
-                group_gate: bool = False, pregate: bool = False,
+                group_gate: bool = False, pregate=False,
                 ablate: str = ""):
     """Trace rays against the cluster tree (lane-major I/O).
 
@@ -647,13 +770,26 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     bit-identical; pays only where a block's rows diverge
     (tools/rowgate_sim.py; closest_d1 158.5→109.2 ms at block=1024).
 
-    pregate=True (coherent depth-0 dispatches): gating moves to an XLA
-    prologue — one interval slab test per (block, cluster), sorted
-    front-to-back and streamed to the kernel through SMEM, skipping the
-    in-kernel prepass/emission/sort. Conservative superset gating —
-    outputs bit-identical; over-gates ~+9% on camera tiles but 3x+ on
-    shadow cones and scattered bounces (tools/pregate_sim.py), so use
-    at depth 0 closest only. Exclusive with group_gate.
+    pregate=True / "interval" (coherent depth-0 dispatches): gating
+    moves to an XLA prologue — one interval slab test per (block,
+    cluster), sorted front-to-back and streamed to the kernel through
+    SMEM, skipping the in-kernel prepass/emission/sort. Conservative
+    superset gating — outputs bit-identical; over-gates ~+9% on camera
+    tiles but 3x+ on shadow cones and scattered bounces
+    (tools/pregate_sim.py), so use at depth 0 closest only. Exclusive
+    with group_gate.
+
+    pregate="recheck" (scattered depth>=1 dispatches): two-level gate —
+    the interval prologue only nominates candidates (compacted by a
+    cumsum partition, no argsort), and the kernel re-tests each one
+    per-ray ([1,R] slab vs the CURRENT t state, bounds scalar-read from
+    an SMEM table) at DMA-issue time, refining the entry bound and the
+    group_gate word. Sweeps stay at true-gated counts (the re-check IS
+    the per-ray `tn <= t(ray)` clause the interval lacks) while the
+    whole in-kernel prepass + scalar emission + sort disappear.
+    Composes with group_gate. Occlusion outputs bit-identical; closest
+    identical up to near-tie commits (visit order differs — same
+    contract as wavefront/resort.py).
     """
     # VKRT_NO_APPROX_RECIP resolves HERE, outside the jit, into the
     # static approx_recip argument (so it is part of the jit cache key —
@@ -663,6 +799,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     import os
     approx_recip = (approx_recip and not interpret
                     and not os.environ.get("VKRT_NO_APPROX_RECIP"))
+    pregate = {True: "interval", False: ""}.get(pregate, pregate)
     return _trace_dense(tree, origins, dirs, tmax, block=block,
                         occlusion=occlusion,
                         with_attributes=with_attributes,
@@ -683,7 +820,7 @@ def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                  block: int, occlusion: bool, with_attributes: bool,
                  interpret: bool, stats: bool, point_origin: bool,
                  approx_recip: bool, sort: bool = True,
-                 group_gate: bool = False, pregate: bool = False,
+                 group_gate: bool = False, pregate: str = "",
                  ablate: str = ""):
     nb = dirs.shape[1]
     N = nb * LANES
@@ -732,18 +869,29 @@ def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
             axis=1)
         sc_order = sc_order.reshape(nblocks, 1, order_w)
 
-    assert not (pregate and group_gate), \
-        "pregate (coherent depth-0) and group_gate (depth>=1) are exclusive"
-    if pregate:
+    assert not (pregate == "interval" and group_gate), \
+        "interval pregate (coherent depth-0) and group_gate are exclusive"
+    if pregate == "recheck":
+        # interval gate + cumsum partition (NO argsort) — per-entry
+        # bounds/order are refined in-kernel by the per-ray re-check
+        gate_iv, tlb_iv, _ = _interval_gate(tree, origins, dirs, tmax,
+                                            block=block,
+                                            point_origin=point_origin)
+        wl_order, wl_tlb, wl_count = _partition_worklists(gate_iv, tlb_iv)
+        clb = _cluster_bounds_smem(tree)
+        cp = wl_order.shape[-1]
+    elif pregate:
         wl_order, wl_tlb, wl_count = _pregate_worklists(
             tree, origins, dirs, tmax, block=block,
             point_origin=point_origin)
+        clb = jnp.zeros((6, 8), jnp.float32)
         cp = wl_order.shape[-1]
     else:
         cp = 64
         wl_order = jnp.zeros((nblocks, 1, cp), jnp.int32)
         wl_tlb = jnp.zeros((nblocks, 1, cp), jnp.float32)
         wl_count = jnp.zeros((nblocks, 1, 8), jnp.int32)
+        clb = jnp.zeros((6, 8), jnp.float32)
 
     kernel = functools.partial(_trace_kernel, n_sc=n_sc, occlusion=occlusion,
                                with_attributes=with_attributes, stats=stats,
@@ -795,6 +943,8 @@ def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
         pl.BlockSpec((1, 1, cp), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, cp), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(tuple(clb.shape), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),    # cluster bounds (recheck)
         pl.BlockSpec(memory_space=pl.ANY),        # tri_data stays in HBM
     ]
     t, slot, u, v, attrs, stat = pl.pallas_call(
@@ -823,7 +973,7 @@ def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
         ],
         interpret=interpret,
     )(sc_order, tree.sc_boxes, tree.cl_boxes, o_k, d_k, tmax_k,
-      wl_order, wl_tlb, wl_count, tree.tri_data)
+      wl_order, wl_tlb, wl_count, clb, tree.tri_data)
 
     t = t.reshape(nb, LANES)
     slot = slot.reshape(nb, LANES)

@@ -38,15 +38,16 @@ from vkrt_tpu.rt.dense import TMIN, _INF, _DET_EPS, LANES, _safe_inv
 
 
 def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
-                       wl_order, wl_tlb, wl_smask, wl_count, tri_hbm,
+                       wl_order, wl_tlb, wl_smask, wl_count, clb, tri_hbm,
                        # outputs
                        occ_out,
                        # scratch
                        tris, sem, gated, tlb, skey, smask, started, nlist,
                        sc_mask, btmax, btmaxg, *t_s, n_sc: int, ns: int,
                        sort: bool = True, group_gate: bool = False,
-                       pregate: bool = False, ablate: str = "",
+                       pregate: str = "", ablate: str = "",
                        visit: str = "near"):
+    recheck = pregate == "recheck"
     R = d_ref.shape[-1]
     NBUF = sem.shape[0]
     K1 = tris.shape[1]
@@ -260,18 +261,42 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
 
     # ablate: probe-only phase decomposition (see rt/dense.py)
     if pregate:
-        # XLA prologue gated/sorted the work list (rt/dense.py
-        # _pregate_worklists machinery) — read it from SMEM inputs
+        # XLA prologue gated the work list (rt/dense.py machinery) —
+        # read it from SMEM inputs. "recheck" refines the bound and the
+        # per-(set,group) bits per-ray at DMA-issue time (scratch).
         count = wl_count[0, 0, 0]
 
-        def rd_gated(i):
-            return wl_order[0, 0, i]
+        if recheck and sort:
+            # coherent-dispatch flavor (see rt/dense.py): scratch copy +
+            # nearest-first insertion sort by the interval bound.
+            # visit="near" only — the alternate visit keys are emitted
+            # by the in-kernel prepass this mode replaces.
+            def cp_body(i, _):
+                gated[i] = wl_order[0, 0, i]
+                tlb[i] = wl_tlb[0, 0, i]
+                smask[i] = wl_smask[0, 0, i]
+                return 0
 
-        def rd_tlb(i):
-            return wl_tlb[0, 0, i]
+            jax.lax.fori_loop(0, count, cp_body, 0)
 
-        def rd_smask(i):
-            return wl_smask[0, 0, i]
+            def rd_gated(i):
+                return gated[i]
+        else:
+            def rd_gated(i):
+                return wl_order[0, 0, i]
+
+        if recheck:
+            def rd_tlb(i):
+                return tlb[i]
+
+            def rd_smask(i):
+                return smask[i]
+        else:
+            def rd_tlb(i):
+                return wl_tlb[0, 0, i]
+
+            def rd_smask(i):
+                return wl_smask[0, 0, i]
     else:
         if ablate == "onlysc":
             nlist[0] = 0
@@ -320,7 +345,8 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
 
     # sort=(depth==0): see rt/dense.py — nearest-first pays only for
     # coherent dispatches (occl_d1 271→252 ms with the sort skipped)
-    if sort and not pregate and ablate not in ("nodma_nosort", "nosort"):
+    if (sort and (not pregate or recheck)
+            and ablate not in ("nodma_nosort", "nosort")):
         jax.lax.fori_loop(1, count, ins_body, 0)
 
     def any_live():
@@ -328,6 +354,48 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         for s in range(1, ns):
             m = jnp.maximum(m, btmax[s])
         return m
+
+    def recheck_issue(j):
+        """pregate="recheck" (see rt/dense.py): per-set per-ray [1,R]
+        slab tests of entry j's cluster box against the CURRENT per-set
+        t states decide its DMA + sweeps, refine the entry bound
+        (tlb[j]) and rebuild the per-(set[,group]) bits (smask[j]) —
+        the interval prologue over-gates shadow cones ~2-5x because it
+        lacks the per-ray `tn <= t(ray)` clause that prunes clusters
+        beyond each segment's own surface."""
+        c = wl_order[0, 0, j]
+        bits = jnp.int32(0)
+        entmin = jnp.float32(_INF)
+        for s in range(ns):
+            t0x = (clb[0, c] - oxs[s]) * ixs[s]
+            t1x = (clb[3, c] - oxs[s]) * ixs[s]
+            t0y = (clb[1, c] - oys[s]) * iys[s]
+            t1y = (clb[4, c] - oys[s]) * iys[s]
+            t0z = (clb[2, c] - ozs[s]) * izs[s]
+            t1z = (clb[5, c] - ozs[s]) * izs[s]
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            ts = t_s[s][:]
+            hit = ((tn <= tf) & (tf >= TMIN) & (0.9999 * tn <= ts)
+                   & (ts > TMIN))
+            if group_gate:
+                lane_g = jax.lax.broadcasted_iota(jnp.int32, hit.shape,
+                                                  1) // 128
+                for g in range(G):
+                    any_g = jnp.any(hit & (lane_g == g))
+                    bits = bits | jnp.where(
+                        any_g, jnp.int32(1 << (s * G + g)), 0)
+            else:
+                bits = bits | jnp.where(jnp.any(hit), jnp.int32(1 << s), 0)
+            entmin = jnp.minimum(entmin,
+                                 jnp.min(jnp.where(hit, tn, _INF)))
+        started[j] = (bits != 0).astype(jnp.int32)
+        smask[j] = bits
+        tlb[j] = 0.9999 * entmin
 
     def cluster_dma(i, slot):
         return pltpu.make_async_copy(tri_hbm.at[rd_gated(i)], tris.at[slot],
@@ -339,18 +407,27 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         for j in range(NBUF - 1):
             @pl.when(j < count)
             def _(j=j):
-                started[j] = 1
-                cluster_dma(j, j % NBUF).start()
+                if recheck:
+                    recheck_issue(j)
+                else:
+                    started[j] = 1
+
+                @pl.when(started[j] == 1)
+                def _(j=j):
+                    cluster_dma(j, j % NBUF).start()
 
         def cl_body(i, _):
             j = i + NBUF - 1
 
             @pl.when(j < count)
             def _():
-                go = rd_tlb(j) < any_live()
-                started[j] = go.astype(jnp.int32)
+                if recheck:
+                    recheck_issue(j)
+                else:
+                    go = rd_tlb(j) < any_live()
+                    started[j] = go.astype(jnp.int32)
 
-                @pl.when(go)
+                @pl.when(started[j] == 1)
                 def _():
                     cluster_dma(j, jax.lax.rem(j, NBUF)).start()
 
@@ -431,7 +508,7 @@ def _sc_order_multi(tree, light_pts, dirs, ns, nblocks, block, n_sc,
 def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
                    block: int = 512, interpret: bool = False,
                    sort: bool = True, group_gate: bool = False,
-                   pregate: bool = False, ablate: str = "",
+                   pregate=False, ablate: str = "",
                    visit: str = "near"):
     """NS-segment-set occlusion trace.
 
@@ -447,6 +524,12 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
     over-gates shadow cones 3x (tools/pregate_sim.py). Kept
     bit-identical (CI) for the retests.
 
+    pregate="recheck": two-level gate — interval prologue nominates
+    candidates (cumsum partition, no argsort), the kernel re-tests each
+    per-ray per-set at DMA-issue time against the CURRENT t states and
+    rebuilds the set(/group) bits and the entry bound (see rt/dense.py).
+    Composes with group_gate. Any-hit outputs stay bit-identical.
+
     visit: insertion-sort key for the cluster visit order (only matters
     with sort=True). "near" = nearest-first slab entry from the light
     (tlb, the closest-hit-optimal order); "mid" = entry closest to the
@@ -460,6 +543,8 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
     nb = dirs.shape[2]
     N = nb * LANES
     assert N % block == 0
+    assert not (pregate == "recheck" and sort and visit != "near"), \
+        "recheck+sort orders by the interval bound (visit='near' only)"
     n_sc = tree.num_superclusters
     c2p = tree.sc_boxes.shape[1]
     k1 = tree.tri_data.shape[1]
@@ -473,7 +558,8 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
     # point-origin shadow cones only)
     order_w = -(-n_sc // 64) * 64
     if pregate:
-        from vkrt_tpu.rt.dense import _interval_gate, _pack_worklists
+        from vkrt_tpu.rt.dense import (_cluster_bounds_smem, _interval_gate,
+                                       _pack_worklists, _partition_worklists)
         gate_any, tlb_min, sbits = None, None, None
         for s in range(ns):
             o_pts = jnp.broadcast_to(light_pts[s][None, :], (nblocks, 3))
@@ -484,8 +570,12 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
             tlb_min = (jnp.where(g, t, _INF) if tlb_min is None
                        else jnp.minimum(tlb_min, jnp.where(g, t, _INF)))
             sbits = b if sbits is None else (sbits | b)
-        wl_order, wl_tlb, wl_count, wl_smask = _pack_worklists(
+        pack = (_partition_worklists if pregate == "recheck"
+                else _pack_worklists)
+        wl_order, wl_tlb, wl_count, wl_smask = pack(
             gate_any, jnp.where(gate_any, tlb_min, 0.0), extra=sbits)
+        clb = (_cluster_bounds_smem(tree) if pregate == "recheck"
+               else jnp.zeros((6, 8), jnp.float32))
         cp = wl_order.shape[-1]
         sc_order = jnp.zeros((nblocks, 1, order_w), jnp.int32)
     else:
@@ -494,6 +584,7 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
         wl_tlb = jnp.zeros((nblocks, 1, cp), jnp.float32)
         wl_smask = jnp.zeros((nblocks, 1, cp), jnp.int32)
         wl_count = jnp.zeros((nblocks, 1, 8), jnp.int32)
+        clb = jnp.zeros((6, 8), jnp.float32)
         # prologue: front-to-back supercluster order keyed by the MIN
         # entry over segment sets along each set's mean ray
         sc_order = _sc_order_multi(tree, light_pts, dirs, ns, nblocks,
@@ -529,6 +620,8 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(tuple(clb.shape), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),   # cluster bounds (recheck)
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((ns, 1, 1, block), lambda i: (0, i, 0, 0),
@@ -549,6 +642,6 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
         ] + [pltpu.VMEM((1, block), jnp.float32) for _ in range(ns)],
         interpret=interpret,
     )(sc_order, tree.sc_boxes, tree.cl_boxes, light_pts, d_k, tmax_k,
-      wl_order, wl_tlb, wl_smask, wl_count, tree.tri_data)
+      wl_order, wl_tlb, wl_smask, wl_count, clb, tree.tri_data)
 
     return occ.reshape(ns, nb, LANES) > 0

@@ -155,11 +155,11 @@ class DenseBackend(NamedTuple):
     scene_aabb: object = None
 
     def closest(self, o, d, tmax, interpret=False, block=BLOCK, sort=True,
-                group_gate=False):
+                group_gate=False, pregate=False):
         from vkrt_tpu.rt.dense import trace_dense
         t, slot, u, v, attrs = trace_dense(
             self.tree, o, d, tmax, with_attributes=True, interpret=interpret,
-            block=block, sort=sort, group_gate=group_gate)
+            block=block, sort=sort, group_gate=group_gate, pregate=pregate)
         return t, u, v, attrs, slot >= 0
 
     def occluded(self, o, d, tmax, interpret=False):
@@ -187,7 +187,7 @@ class DenseBackend(NamedTuple):
     # per (cluster, light) via a segment-set bitmask. Measured 197 vs
     # 215 ms (4-light 1080p shadow pass) over per-light dispatches.
     def occluded_multi(self, light_pts, sd, st, interpret=False,
-                       block=BLOCK, sort=True):
+                       block=BLOCK, sort=True, pregate=False):
         import os
         if os.environ.get("VKRT_NO_MULTI_OCCL"):   # bisect escape hatch
             outs = []
@@ -199,7 +199,8 @@ class DenseBackend(NamedTuple):
             return jnp.stack(outs)
         from vkrt_tpu.rt.occl_multi import occluded_multi
         return occluded_multi(self.tree, light_pts, sd, st, block=block,
-                              interpret=interpret, sort=sort)
+                              interpret=interpret, sort=sort,
+                              pregate=pregate)
 
 
 class ReferenceBackend(NamedTuple):
@@ -209,7 +210,7 @@ class ReferenceBackend(NamedTuple):
     scene_aabb: object = None  # f32[2,3]; see DenseBackend.scene_aabb
 
     def closest(self, o, d, tmax, interpret=False, block=BLOCK, sort=True,
-                group_gate=False):
+                group_gate=False, pregate=False):
         from vkrt_tpu.rt.traverse import trace_closest
         of, df = L.from_cvec(o), L.from_cvec(d)
         t, tri, u, v = trace_closest(self.bvh, of, df, C.RAY_TMIN,
@@ -232,7 +233,7 @@ class ReferenceBackend(NamedTuple):
                              interpret)
 
     def occluded_multi(self, light_pts, sd, st, interpret=False,
-                       block=BLOCK, sort=True):
+                       block=BLOCK, sort=True, pregate=False):
         outs = []
         for s in range(light_pts.shape[0]):
             o = jnp.broadcast_to(light_pts[s][:, None, None], sd[s].shape)
@@ -342,11 +343,19 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                 tm_t = resort.permute_rays(tmax, perm)
             else:
                 o_t, d_t, tm_t = origins, dirs, tmax
+            # two-level pregate (cfg.recheck_secondary): the interval
+            # prologue nominates candidate clusters and the kernel
+            # re-tests each per-ray at DMA-issue time — replaces the
+            # in-kernel per-ray prepass + scalar emission for scattered
+            # depth>=1 dispatches (rt/dense.py pregate="recheck")
+            rc = "recheck" if (cfg.recheck_secondary and _depth >= 1) \
+                else False
             t, u, v, attrs, hitm = backend.closest(o_t, d_t, tm_t,
                                                    interpret=interpret,
                                                    block=cblk,
                                                    sort=_depth == 0,
-                                                   group_gate=_depth >= 1)
+                                                   group_gate=_depth >= 1,
+                                                   pregate=rc)
             if rs_closest:
                 t = resort.permute_rays(t, inv)
                 u = resort.permute_rays(u, inv)
@@ -441,10 +450,17 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                     sinv = resort.inverse_permutation(sperm)
                     sd = resort.permute_rays(sd, sperm)
                     st = resort.permute_rays(st, sperm)
+                # shadows are secondary at every depth: the per-ray
+                # `tn <= t(ray)` clause the re-check restores prunes
+                # clusters beyond each segment's own surface (interval
+                # over-gates shadow cones 2-5x, tools/pregate_sim.py)
+                rcs = "recheck" if cfg.recheck_secondary else False
                 occ_all = backend.occluded_multi(lights, sd, st,
                                                  interpret=interpret,
                                                  block=oblk,
-                                                 sort=_depth == 0)
+                                                 sort=_depth == 0
+                                                 and not rcs,
+                                                 pregate=rcs)
                 if rs_shadow:
                     occ_all = resort.permute_rays(occ_all, sinv)
             occs = list(occ_all)
