@@ -201,19 +201,25 @@ def _assemble(v0, e1, e2, order, attrs=None, with_attributes: bool = False) -> C
 
 def split_permutation(v0, e1, e2, k1: int = K1, k2: int = K2,
                       sah: bool = True):
-    """Top-down aligned median-split triangle ordering (host, numpy).
+    """Top-down aligned SAH-split triangle ordering (host, numpy).
 
     Returns a permutation whose consecutive K1-runs are the clusters:
     the recursion splits node triangle ranges at multiples of K1 (and of
     K1*K2 while nodes are still larger, so superclusters are subtrees
-    too), partitioning by centroid along the axis that minimizes the
-    children's surface-area x count sum (sah=True; sah=False picks the
-    widest centroid axis). This replaces the Morton-run ordering for
-    static builds: Morton runs of 128 cross space-filling-curve seams
-    and give loose cluster AABBs, which is pure slop in the dense
-    kernel's per-block gating. Plays the role of the driver's BLAS
-    builder quality (ref: src/Raytracer.cpp:1027-1157); the on-device
-    per-frame rebuild path keeps the Morton order (jit-friendly).
+    too). sah=True (production) scores EVERY aligned cut position on
+    every axis by the true SAH sum area_L*n_L + area_R*n_R over
+    prefix/suffix accumulated child AABBs of the centroid-sorted range
+    and takes the global best — the round-3 upgrade from the fixed
+    median-half cut with SAH axis choice, measured on Sponza camera
+    rays: per-ray cluster intersections 14.6 -> 10.4 (-29%), per-block
+    gated-cluster union -20..23% (tools/split_quality.py). sah=False
+    keeps the cheap widest-centroid-axis median split. This replaces
+    the Morton-run ordering for static builds: Morton runs of 128 cross
+    space-filling-curve seams and give loose cluster AABBs, which is
+    pure slop in the dense kernel's per-block gating. Plays the role of
+    the driver's BLAS builder quality (ref: src/Raytracer.cpp:1027-1157);
+    the on-device per-frame rebuild path keeps the Morton order
+    (jit-friendly).
     """
     import numpy as np
 
@@ -226,6 +232,11 @@ def split_permutation(v0, e1, e2, k1: int = K1, k2: int = K2,
     T = c.shape[0]
     order = np.arange(T, dtype=np.int64)
     big = k1 * k2
+
+    def area(ext):
+        return (ext[..., 0] * ext[..., 1] + ext[..., 1] * ext[..., 2]
+                + ext[..., 2] * ext[..., 0])
+
     stack = [(0, T)]
     while stack:
         lo, hi = stack.pop()
@@ -233,31 +244,40 @@ def split_permutation(v0, e1, e2, k1: int = K1, k2: int = K2,
         if n <= k1:
             continue
         align = big if n > big else k1
-        half = (n // 2 // align) * align
-        if half == 0:
-            half = align
-        sub = order[lo:hi]
-        cc = c[sub]
         if sah:
-            best_cost, best_sel = None, None
+            ncuts = (n - 1) // align      # cuts at align, 2*align, ...
+            if ncuts == 0:
+                continue
+            sub = order[lo:hi]
+            best_cost, best_perm, best_cut = None, None, None
             for ax in range(3):
-                sel = np.argpartition(cc[:, ax], half)
-                li, ri = sub[sel[:half]], sub[sel[half:]]
-                cost = 0.0
-                for side, cnt in ((li, half), (ri, n - half)):
-                    ext = tmax[side].max(axis=0) - tmin[side].min(axis=0)
-                    area = (ext[0] * ext[1] + ext[1] * ext[2]
-                            + ext[2] * ext[0])
-                    cost += area * cnt
-                if best_cost is None or cost < best_cost:
-                    best_cost, best_sel = cost, sel
-            sel = best_sel
+                srt = np.argsort(c[sub, ax], kind="stable")
+                s = sub[srt]
+                pmin = np.minimum.accumulate(tmin[s], axis=0)
+                pmax = np.maximum.accumulate(tmax[s], axis=0)
+                smin = np.minimum.accumulate(tmin[s][::-1], axis=0)[::-1]
+                smax = np.maximum.accumulate(tmax[s][::-1], axis=0)[::-1]
+                cuts = (np.arange(ncuts) + 1) * align
+                a_l = area(pmax[cuts - 1] - pmin[cuts - 1])
+                a_r = area(smax[cuts] - smin[cuts])
+                cost = a_l * cuts + a_r * (n - cuts)
+                j = int(np.argmin(cost))
+                if best_cost is None or cost[j] < best_cost:
+                    best_cost, best_perm, best_cut = cost[j], s, int(cuts[j])
+            order[lo:hi] = best_perm
+            stack.append((lo + best_cut, hi))
+            stack.append((lo, lo + best_cut))
         else:
+            half = (n // 2 // align) * align
+            if half == 0:
+                half = align
+            sub = order[lo:hi]
+            cc = c[sub]
             ax = int(np.argmax(cc.max(axis=0) - cc.min(axis=0)))
             sel = np.argpartition(cc[:, ax], half)
-        order[lo:hi] = sub[sel]
-        stack.append((lo + half, hi))
-        stack.append((lo, lo + half))
+            order[lo:hi] = sub[sel]
+            stack.append((lo + half, hi))
+            stack.append((lo, lo + half))
     return order.astype(np.int32)
 
 
