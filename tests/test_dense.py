@@ -500,7 +500,7 @@ def test_recheck_occl_multi_bit_exact(scene):
 
     v0, e1, e2, tree = scene
     rng = np.random.default_rng(48)
-    NS, N = 4, 512
+    NS, N = 4, 1024
     lights = rng.uniform(-6, 6, (NS, 3)).astype(np.float32)
     pts = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
     dirs = np.zeros((NS, 3, N // 128, 128), np.float32)
@@ -525,3 +525,14 @@ def test_recheck_occl_multi_bit_exact(scene):
                         jnp.asarray(tm), block=256, interpret=True,
                         sort=True, pregate="recheck")
     np.testing.assert_array_equal(np.asarray(base), np.asarray(rc))
+    # block=1024 with 4 sets: ns*G = 32 gate bits — the recheck bit
+    # builder must reach bit 31 without overflowing (regression for the
+    # jnp.int32(1 << 31) OverflowError that killed the production-shape
+    # shadow_d1_rc_gg1 row in tools/r3_hw_queue.py)
+    base_b = occluded_multi(tree, jnp.asarray(lights), jnp.asarray(dirs),
+                            jnp.asarray(tm), block=1024, interpret=True,
+                            sort=False)
+    rc_b = occluded_multi(tree, jnp.asarray(lights), jnp.asarray(dirs),
+                          jnp.asarray(tm), block=1024, interpret=True,
+                          sort=False, group_gate=True, pregate="recheck")
+    np.testing.assert_array_equal(np.asarray(base_b), np.asarray(rc_b))

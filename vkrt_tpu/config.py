@@ -60,13 +60,14 @@ class RenderConfig:
     # trace, surface-point cells before every shadow dispatch). Shadow
     # masks are exactly order-independent; closest results equal up to
     # ~1-ulp near-tie commits (CI); sims cut total gated-cluster sweeps
-    # to 0.51x / 0.40x / 0.13-0.28x (tools/dirsort_sim*.py) — the
-    # shadow win is mostly ray-level OCCUPANCY (7.7x fewer dispatched
-    # blocks at depth 1), the most layout-robust kind. Default ON
-    # sim-backed; the hardware A/B is queued (tools/r3_hw_queue.py
-    # times both and the permutation overhead in isolation — revisit
-    # this default with that output).
-    resort_secondary: bool = True
+    # to 0.51x / 0.40x / 0.13-0.28x (tools/dirsort_sim*.py). Default
+    # OFF: measured DEAD on hardware (tools/r3_hw_queue.py) — the
+    # radix-partition permutations alone cost ~420 ms/frame at 1080p
+    # (XLA gather/scatter ~30M rows/s x 14 sequential bit-passes over
+    # 2M rays), more than every dispatch they accelerate combined
+    # (closest_d1 resorted 554 ms vs 95 unsorted+group-gated). The
+    # machinery stays for small-wavefront scenes and CI contract tests.
+    resort_secondary: bool = False
     # Two-level pregate for secondary dispatches (depth>=1 closest +
     # every shadow pass): the interval prologue nominates candidate
     # clusters (cumsum partition, no argsort) and the kernel re-tests
@@ -74,9 +75,24 @@ class RenderConfig:
     # prepass + scalar emission + sort (rt/dense.py pregate="recheck").
     # Occlusion outputs bit-identical; closest equal up to ~1-ulp
     # near-tie commits (visit order differs — same contract as the
-    # resort). Default OFF until the hardware A/B lands
-    # (tools/r3_hw_queue.py recheck rows).
+    # resort). Default OFF: measured DEAD on hardware
+    # (tools/r3_hw_queue.py) — closest_d1 recheck 220.6 ms vs 95.3 for
+    # the in-kernel prepass + group-gate; shadows 323/373 vs 147/200.
+    # The interval prologue's cumsum partition pays the same XLA
+    # scatter cost class that killed the resort, and over-gated
+    # candidates still cost DMA issue slots.
     recheck_secondary: bool = False
+    # Per-(set,group) sweep gating in the multi-segment shadow kernel
+    # (rt/occl_multi.py group_gate). The first hardware measurement
+    # regressed 2x with the masked-iota prepass; the slice-reduce
+    # prepass retest decides this default (tools/r3_hw_queue2.py).
+    shadow_group_gate: bool = False
+    # Per-group btmax gating for the depth-0 closest trace. Depth>=1
+    # always gates (95.3 vs 138.8 ms measured); at coherent depth 0
+    # 95% of clusters gate every group (tools/rowgate_sim.py) but the
+    # per-group btmax still prunes during the sweep as subtiles
+    # converge — hardware row decides (tools/r3_hw_queue2.py).
+    closest_d0_group_gate: bool = False
 
     @property
     def resolution(self) -> Tuple[int, int]:

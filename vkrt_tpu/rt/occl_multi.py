@@ -387,8 +387,13 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                                                   1) // 128
                 for g in range(G):
                     any_g = jnp.any(hit & (lane_g == g))
+                    # left_shift, not jnp.int32(1 << k): bit 31 (ns*G=32,
+                    # e.g. 4 sets x 1024-ray blocks) overflows a Python
+                    # int32 literal
                     bits = bits | jnp.where(
-                        any_g, jnp.int32(1 << (s * G + g)), 0)
+                        any_g,
+                        jnp.left_shift(jnp.int32(1), jnp.int32(s * G + g)),
+                        0)
             else:
                 bits = bits | jnp.where(jnp.any(hit), jnp.int32(1 << s), 0)
             entmin = jnp.minimum(entmin,

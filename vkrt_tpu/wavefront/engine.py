@@ -187,7 +187,8 @@ class DenseBackend(NamedTuple):
     # per (cluster, light) via a segment-set bitmask. Measured 197 vs
     # 215 ms (4-light 1080p shadow pass) over per-light dispatches.
     def occluded_multi(self, light_pts, sd, st, interpret=False,
-                       block=BLOCK, sort=True, pregate=False):
+                       block=BLOCK, sort=True, pregate=False,
+                       group_gate=False):
         import os
         if os.environ.get("VKRT_NO_MULTI_OCCL"):   # bisect escape hatch
             outs = []
@@ -200,7 +201,7 @@ class DenseBackend(NamedTuple):
         from vkrt_tpu.rt.occl_multi import occluded_multi
         return occluded_multi(self.tree, light_pts, sd, st, block=block,
                               interpret=interpret, sort=sort,
-                              pregate=pregate)
+                              pregate=pregate, group_gate=group_gate)
 
 
 class ReferenceBackend(NamedTuple):
@@ -233,7 +234,8 @@ class ReferenceBackend(NamedTuple):
                              interpret)
 
     def occluded_multi(self, light_pts, sd, st, interpret=False,
-                       block=BLOCK, sort=True, pregate=False):
+                       block=BLOCK, sort=True, pregate=False,
+                       group_gate=False):
         outs = []
         for s in range(light_pts.shape[0]):
             o = jnp.broadcast_to(light_pts[s][:, None, None], sd[s].shape)
@@ -350,12 +352,11 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
             # depth>=1 dispatches (rt/dense.py pregate="recheck")
             rc = "recheck" if (cfg.recheck_secondary and _depth >= 1) \
                 else False
-            t, u, v, attrs, hitm = backend.closest(o_t, d_t, tm_t,
-                                                   interpret=interpret,
-                                                   block=cblk,
-                                                   sort=_depth == 0,
-                                                   group_gate=_depth >= 1,
-                                                   pregate=rc)
+            t, u, v, attrs, hitm = backend.closest(
+                o_t, d_t, tm_t, interpret=interpret, block=cblk,
+                sort=_depth == 0,
+                group_gate=_depth >= 1 or cfg.closest_d0_group_gate,
+                pregate=rc)
             if rs_closest:
                 t = resort.permute_rays(t, inv)
                 u = resort.permute_rays(u, inv)
@@ -460,7 +461,9 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                                                  block=oblk,
                                                  sort=_depth == 0
                                                  and not rcs,
-                                                 pregate=rcs)
+                                                 pregate=rcs,
+                                                 group_gate=
+                                                 cfg.shadow_group_gate)
                 if rs_shadow:
                     occ_all = resort.permute_rays(occ_all, sinv)
             occs = list(occ_all)
