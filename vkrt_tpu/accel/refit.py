@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from vkrt_tpu.accel.clusters import K1, K2, ROWS, ClusterTree
+from vkrt_tpu.utils import layout as L
 
 _INF = 3.0e38
 
@@ -37,7 +38,10 @@ def refit_clusters(tree: ClusterTree, matrix: jnp.ndarray) -> ClusterTree:
         return td[:, :, r:r + 3]             # [C1p, K1, 3]
 
     def xform(x, translate):
-        y = jnp.einsum("ij,ckj->cki", a, x)
+        # explicit f32 contraction: einsum with a 3-wide contraction
+        # lowers to a bf16-default MXU matmul on TPU and would truncate
+        # the refit geometry (hardware-only error; utils.layout.mat_rows3)
+        y = L.mat_rows3(x, a)
         if translate:
             y = y + b[None, None, :]
         return y
@@ -82,7 +86,7 @@ def refit_clusters(tree: ClusterTree, matrix: jnp.ndarray) -> ClusterTree:
     # (For non-uniform scale a true inverse-transpose would be needed —
     # the reference's TLAS transform is uniform, ref: Raytracer.cpp:1165.)
     def rot(r):
-        return jnp.einsum("ij,ckj->cki", a, td[:, :, r:r + 3])
+        return L.mat_rows3(td[:, :, r:r + 3], a)
 
     attrs_mid = jnp.concatenate(
         [rot(9), rot(12), rot(15),            # n0 n1 n2

@@ -56,6 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vkrt_tpu.accel.clusters import K2, ROWS, ClusterTree
+from vkrt_tpu.utils import layout as L
 
 _INF = 3.0e38
 _ZFAR_PARK = 1.0e9     # z_s sentinel: live init / parked init is -_ZFAR_PARK
@@ -82,14 +83,18 @@ def build_raster_setup(tree: ClusterTree, view, proj, width: int,
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def _build_raster_setup(tree: ClusterTree, view, proj, *, width, height):
     td = tree.tri_data                           # [C1p, K1, ROWS]
-    wvp = proj @ view                            # [4,4]
+    # explicit f32 contractions (utils.layout.mat_rows3): `proj @ view`
+    # and the vertex einsum lower to bf16-default MXU matmuls on TPU,
+    # which truncated vertex positions and flipped 75% of full-scene
+    # pixels vs the ray oracle (hardware-only; tools/r3_hw_queue2.py)
+    wvp = (proj[:, :, None] * view[None, :, :]).sum(axis=1)   # [4,4]
     v0 = td[..., 0:3]
     p = [v0, v0 + td[..., 3:6], v0 + td[..., 6:9]]     # corners [C1p,K1,3]
     valid = (jnp.abs(v0).sum(-1) + jnp.abs(td[..., 3:6]).sum(-1)) > 0
 
     X, Y, W_, Z = [], [], [], []
     for pi in p:
-        clip = jnp.einsum("...j,kj->...k", pi, wvp[:, :3]) + wvp[:, 3]
+        clip = L.mat_rows3(pi, wvp[:, :3]) + wvp[:, 3]
         X.append((0.5 * clip[..., 0] + 0.5 * clip[..., 3]) * width)
         Y.append((0.5 * clip[..., 1] + 0.5 * clip[..., 3]) * height)
         Z.append(clip[..., 2])

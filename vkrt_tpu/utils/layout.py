@@ -67,3 +67,16 @@ def normalize3(a, eps: float = 1e-20):
 def where3(mask, a, b):
     """select per ray: mask [Nb,128], cvecs a/b."""
     return jnp.where(mask[None], a, b)
+
+
+def mat_rows3(x, m):
+    """Row-vector transform y[..., i] = sum_j x[..., j] * m[i, j]
+    (x: [..., 3], m: [R, 3] -> y: [..., R]) as EXPLICIT elementwise
+    fma math. jnp.einsum / `@` with a 3-wide contraction lowers to an
+    MXU matmul whose default precision truncates operands to bf16 on
+    TPU — the hardware-only numeric-bug class that broke the MXU
+    attribute select in round 2 and the edge rasterizer's vertex
+    transform in round 3 (75% of pixels flipped vs the ray oracle,
+    tools/r3_hw_queue2.py). This form stays on the VPU at exact f32."""
+    return (x[..., 0:1] * m[:, 0] + x[..., 1:2] * m[:, 1]
+            + x[..., 2:3] * m[:, 2])

@@ -622,7 +622,9 @@ def _transform_geometry(v0, e1, e2, attrs, m):
     """Affine transform of triangle geometry + directional attributes."""
     a = m[:3, :3]
     b = m[:3, 3]
-    rot = lambda x: x @ a.T
+    # explicit f32 contraction — `x @ a.T` is a bf16-default MXU matmul
+    # on TPU (utils.layout.mat_rows3 docstring has the incident list)
+    rot = lambda x: L.mat_rows3(x, a)
     v0t = rot(v0) + b
     out = dict(attrs)
     for k in ("n0", "n1", "n2", "t0", "t1", "t2"):
