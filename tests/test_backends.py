@@ -78,6 +78,34 @@ def test_resort_secondary_matches_unsorted(scene):
                                           np.asarray(rc1))
 
 
+def test_defer_shadows_bit_exact(scene):
+    """Deferred shadows (cfg.defer_shadows: ONE multi-segment occlusion
+    dispatch for every depth's shadow sets, ns = depths * lights) must be
+    BIT-identical to the per-depth dispatches: occlusion masks are
+    visit-order independent and the engine replays the accumulation in
+    the original op order (wavefront/engine.py). Covers depth 2 (the
+    reference workload, ns=8) and depth 4 (config-5 shading, ns=16) on
+    both backends."""
+    flat, tex, cam = scene
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+    cfg2 = dataclasses.replace(C.reference_config(), width=W, height=H)
+    cfg4 = dataclasses.replace(C.config5_stress(), width=W, height=H)
+    for kind, interp in (("reference", False), ("dense", True)):
+        be = make_backend(flat, kind)
+        for cfg in (cfg2, cfg4):
+            fb0, rc0 = render_frame(
+                be, tex, *args,
+                dataclasses.replace(cfg, defer_shadows=False),
+                interpret=interp)
+            fb1, rc1 = render_frame(
+                be, tex, *args,
+                dataclasses.replace(cfg, defer_shadows=True),
+                interpret=interp)
+            np.testing.assert_array_equal(np.asarray(fb0), np.asarray(fb1))
+            np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
+
+
 def test_recheck_secondary_matches_baseline(scene):
     """Two-level pregate (cfg.recheck_secondary: interval prologue +
     in-kernel per-ray re-check at DMA-issue time, rt/dense.py

@@ -93,6 +93,21 @@ class RenderConfig:
     # per-group btmax still prunes during the sweep as subtiles
     # converge — hardware row decides (tools/r3_hw_queue2.py).
     closest_d0_group_gate: bool = False
+    # Defer ALL depths' shadow segments into ONE multi-segment occlusion
+    # dispatch after the trace rounds (ns = max_depth * num_lights sets
+    # share each surface tile's block): occlusion results never feed ray
+    # propagation — only color — so deferral is exact, and the engine
+    # replays the accumulation in the original op order (frames
+    # BIT-IDENTICAL to per-depth dispatches, CI-pinned). Default OFF:
+    # measured SLOWER on hardware (tools/r3_hw_queue4.py — merged 8-set
+    # dispatch 371 vs 343 ms separate; config-4 frame 629 vs 605;
+    # config-5 1263 vs 1163): the kernel's per-set prepass slab-tests
+    # every gated supercluster for ALL ns sets, so the UNION of two
+    # depths' gated SCs costs more set-tests than two focused
+    # dispatches — the shared launch/bitmask/DMA savings don't cover
+    # it. Falls back to per-depth dispatches when the resort/recheck
+    # machinery is enabled (those permute per depth).
+    defer_shadows: bool = False
 
     @property
     def resolution(self) -> Tuple[int, int]:

@@ -309,6 +309,19 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
     lights = lights[:cfg.num_lights]
     origins = jnp.broadcast_to(origin_pt[:, None, None], (3,) + shape)
 
+    # Deferred shadows (cfg.defer_shadows): collect every depth's shadow
+    # segment sets and trace them in ONE multi-segment dispatch after the
+    # rounds — occlusion feeds only COLOR (never ray propagation), so the
+    # accumulation is replayed afterwards in the original op order and
+    # the frame is bit-identical (tests/test_backends.py pins this).
+    # One launch + one supercluster pass + one DMA stream over the
+    # union of gated clusters instead of max_depth of each.
+    defer = (cfg.defer_shadows and cfg.enable_shadows
+             and cfg.num_lights > 0 and cfg.max_depth > 1
+             and not cfg.flat_albedo and not cfg.resort_secondary
+             and not cfg.recheck_secondary)
+    deferred = []
+
     for _depth in range(cfg.max_depth):
         # named scopes surface as ranges in jax.profiler traces — the
         # DebugMarker beginLabel/endLabel analogue (ref: DebugMarker.cpp)
@@ -370,7 +383,8 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
         # miss shader: sky, unattenuated (ref: shader.rmiss:17 — the miss
         # shader overwrites hitValue; rgen adds it as-is)
         sky = jnp.asarray(C.SKY_COLOR)
-        accum = accum + jnp.where(miss[None], sky[:, None, None], 0.0)
+        if not defer:
+            accum = accum + jnp.where(miss[None], sky[:, None, None], 0.0)
 
         pos, normal, uv, tangent, mat_ids = shading.interpolate(attrs, u, v)
         # ONE gather fetches base + metallic-roughness + normal-map quads
@@ -421,81 +435,131 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
             # of num_lights of each. Rays a hit doesn't cast (N·L<=0 or
             # miss) park with tmax=0. Ref contract: shader.rchit:119-152.
             casts = [hit & (nd > 0) for nd in ndotls]
-            with jax.named_scope(f"trace_shadow_d{_depth}"):
-                # shadow rays are traced FROM THE LIGHT toward the surface
-                # (same segment, same occlusion answer, epsilon mirrored
-                # to the surface end): every ray in a block then shares
-                # one origin POINT — the kernel's point-origin fast path
-                # with exact origin-box entry bounds; a subtile's rays
-                # form a tight cone. Occlusion keeps no per-hit state, so
-                # it runs at the larger OCCL_BLOCK (measured -27%).
-                oblk = _occl_block(nb * L.LANES)
-                sd = jnp.stack([-g[0] for g in geo])           # [L,3,Nb,128]
-                st = jnp.stack(                                # [L,Nb,128]
-                    [jnp.where(c, g[1] - C.RAY_TMIN, 0.0)
-                     for c, g in zip(casts, geo)])
-                # shadow resort (every depth — shadows are secondary
-                # rays even at depth 0): one Morton-cell partition of
-                # the SHARED depth-k surface points re-tiles all NS
-                # lights' segments with a single permutation (segment
-                # sets stay row-aligned — the multi-segment kernel is
-                # preserved). Sim: 0.40x total sweeps at depth 0,
-                # 0.13-0.25x at depth 1 (tools/dirsort_sim*).
-                rs_shadow = (cfg.resort_secondary
-                             and getattr(backend, "scene_aabb", None)
-                             is not None)
-                if rs_shadow:
-                    sperm = resort.radix_partition_perm(
-                        resort.cell_key(pos, hit, backend.scene_aabb),
-                        resort.CELL_KEY_BITS)
-                    sinv = resort.inverse_permutation(sperm)
-                    sd = resort.permute_rays(sd, sperm)
-                    st = resort.permute_rays(st, sperm)
-                # shadows are secondary at every depth: the per-ray
-                # `tn <= t(ray)` clause the re-check restores prunes
-                # clusters beyond each segment's own surface (interval
-                # over-gates shadow cones 2-5x, tools/pregate_sim.py)
-                rcs = "recheck" if cfg.recheck_secondary else False
-                occ_all = backend.occluded_multi(lights, sd, st,
-                                                 interpret=interpret,
-                                                 block=oblk,
-                                                 sort=_depth == 0
-                                                 and not rcs,
-                                                 pregate=rcs,
-                                                 group_gate=
-                                                 cfg.shadow_group_gate)
-                if rs_shadow:
-                    occ_all = resort.permute_rays(occ_all, sinv)
-            occs = list(occ_all)
+            # shadow rays are traced FROM THE LIGHT toward the surface
+            # (same segment, same occlusion answer, epsilon mirrored
+            # to the surface end): every ray in a block then shares
+            # one origin POINT — the kernel's point-origin fast path
+            # with exact origin-box entry bounds; a subtile's rays
+            # form a tight cone.
+            sd = jnp.stack([-g[0] for g in geo])           # [L,3,Nb,128]
+            st = jnp.stack(                                # [L,Nb,128]
+                [jnp.where(c, g[1] - C.RAY_TMIN, 0.0)
+                 for c, g in zip(casts, geo)])
+            if not defer:
+                with jax.named_scope(f"trace_shadow_d{_depth}"):
+                    # Occlusion keeps no per-hit state, so it runs at the
+                    # larger OCCL_BLOCK (measured -27%).
+                    oblk = _occl_block(nb * L.LANES)
+                    # shadow resort (every depth — shadows are secondary
+                    # rays even at depth 0): one Morton-cell partition of
+                    # the SHARED depth-k surface points re-tiles all NS
+                    # lights' segments with a single permutation (segment
+                    # sets stay row-aligned — the multi-segment kernel is
+                    # preserved). Sim: 0.40x total sweeps at depth 0,
+                    # 0.13-0.25x at depth 1 (tools/dirsort_sim*).
+                    rs_shadow = (cfg.resort_secondary
+                                 and getattr(backend, "scene_aabb", None)
+                                 is not None)
+                    if rs_shadow:
+                        sperm = resort.radix_partition_perm(
+                            resort.cell_key(pos, hit, backend.scene_aabb),
+                            resort.CELL_KEY_BITS)
+                        sinv = resort.inverse_permutation(sperm)
+                        sd = resort.permute_rays(sd, sperm)
+                        st = resort.permute_rays(st, sperm)
+                    # shadows are secondary at every depth: the per-ray
+                    # `tn <= t(ray)` clause the re-check restores prunes
+                    # clusters beyond each segment's own surface (interval
+                    # over-gates shadow cones 2-5x, tools/pregate_sim.py)
+                    rcs = "recheck" if cfg.recheck_secondary else False
+                    occ_all = backend.occluded_multi(lights, sd, st,
+                                                     interpret=interpret,
+                                                     block=oblk,
+                                                     sort=_depth == 0
+                                                     and not rcs,
+                                                     pregate=rcs,
+                                                     group_gate=
+                                                     cfg.shadow_group_gate)
+                    if rs_shadow:
+                        occ_all = resort.permute_rays(occ_all, sinv)
+                occs = list(occ_all)
             for c in casts:
                 ray_count = ray_count + c.astype(jnp.int32)
-        for li in range(nl):
-            diffuse = jnp.clip(ndotls[li], 0.0, 1.0)
-            mult = jnp.ones(shape, jnp.float32)
-            if cfg.enable_shadows:
-                cast = hit & (ndotls[li] > 0)
-                mult = jnp.where(cast & occs[li], C.SHADOW_MULTIPLIER, 1.0)
-            total_light = total_light + diffuse * geo[li][2] * mult
-
-        hit_value = base * (total_light * attenuation)[None] + base * C.AMBIENT
 
         if cfg.enable_reflections:
             reflective = hit & (metallic > C.METALLIC_THRESHOLD)
             # attenuation updates BEFORE the (1 - attenuation) scale —
             # order quirk preserved (ref: shader.rchit:165-167)
             new_att = attenuation * (C.REFLECT_SCALE * metallic)
-            attenuation = jnp.where(reflective, new_att, attenuation)
-            hit_value = jnp.where(reflective[None],
-                                  hit_value * (1.0 - attenuation)[None],
-                                  hit_value)
+            att_updated = jnp.where(reflective, new_att, attenuation)
         else:
             reflective = jnp.zeros_like(hit)
+            att_updated = attenuation
 
-        accum = accum + jnp.where(hit[None], hit_value, 0.0)
+        if defer:
+            # Deferred-accumulation record: everything the replay below
+            # needs to reproduce this depth's accumulation ops (and their
+            # order) EXACTLY once the merged occlusion masks exist.
+            deferred.append(dict(sd=sd, st=st, miss=miss, hit=hit,
+                                 base=base, ndotls=ndotls,
+                                 powers=[g[2] for g in geo], casts=casts,
+                                 att=attenuation, att_updated=att_updated,
+                                 reflective=reflective))
+        else:
+            for li in range(nl):
+                diffuse = jnp.clip(ndotls[li], 0.0, 1.0)
+                mult = jnp.ones(shape, jnp.float32)
+                if cfg.enable_shadows:
+                    cast = hit & (ndotls[li] > 0)
+                    mult = jnp.where(cast & occs[li], C.SHADOW_MULTIPLIER,
+                                     1.0)
+                total_light = total_light + diffuse * geo[li][2] * mult
 
+            hit_value = (base * (total_light * attenuation)[None]
+                         + base * C.AMBIENT)
+            if cfg.enable_reflections:
+                hit_value = jnp.where(reflective[None],
+                                      hit_value * (1.0 - att_updated)[None],
+                                      hit_value)
+            accum = accum + jnp.where(hit[None], hit_value, 0.0)
+
+        attenuation = att_updated
         origins = L.where3(reflective, pos, origins)
         dirs = L.where3(reflective, shading.reflect(dirs, pn), dirs)
         active = reflective
+
+    if defer and deferred:
+        # ONE multi-segment occlusion dispatch over every depth's shadow
+        # sets (ns = depths * lights): shared supercluster pass, shared
+        # work lists, each cluster slab DMA'd once for all sets that gate
+        # it; sweeps stay per-set (skipped via the per-entry set bits).
+        with jax.named_scope("trace_shadow_deferred"):
+            nd = len(deferred)
+            oblk = _occl_block(nb * L.LANES)
+            occ_all = backend.occluded_multi(
+                jnp.concatenate([lights] * nd, axis=0),
+                jnp.concatenate([r["sd"] for r in deferred], axis=0),
+                jnp.concatenate([r["st"] for r in deferred], axis=0),
+                interpret=interpret, block=oblk, sort=True)
+        sky = jnp.asarray(C.SKY_COLOR)
+        for d, rec in enumerate(deferred):
+            # replay this depth's accumulation in the exact op order of
+            # the inline path — the frame is bit-identical (CI-pinned)
+            accum = accum + jnp.where(rec["miss"][None],
+                                      sky[:, None, None], 0.0)
+            total_light = jnp.zeros(shape, jnp.float32)
+            for li in range(nl):
+                diffuse = jnp.clip(rec["ndotls"][li], 0.0, 1.0)
+                mult = jnp.where(rec["casts"][li] & occ_all[d * nl + li],
+                                 C.SHADOW_MULTIPLIER, 1.0)
+                total_light = total_light + diffuse * rec["powers"][li] * mult
+            hit_value = (rec["base"] * (total_light * rec["att"])[None]
+                         + rec["base"] * C.AMBIENT)
+            if cfg.enable_reflections:
+                hit_value = jnp.where(
+                    rec["reflective"][None],
+                    hit_value * (1.0 - rec["att_updated"])[None], hit_value)
+            accum = accum + jnp.where(rec["hit"][None], hit_value, 0.0)
 
     return accum, ray_count
 
