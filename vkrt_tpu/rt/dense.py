@@ -474,19 +474,17 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
             good = cl_any & (entry < btmax[0])    # [K2,1]
             if group_gate:
                 # per-cluster word of WHICH 128-lane ray groups gate it
-                # (the sweep loop skips non-gating groups). Masked-iota
-                # any-reduces: each re-reads the full hit matrix (G× the
-                # minimal cost) but is the form hardware-PROVEN to
-                # compile and win (closest_d1 158.5→109.2 ms); the
-                # cheaper lane-slice reduce form lives in occl_multi.py
-                # pending its Mosaic/hardware retest — flip here only
-                # once that measures.
-                lane_g = jax.lax.broadcasted_iota(
-                    jnp.int32, cl_hit.shape, 1) // LANES
+                # (the sweep loop skips non-gating groups). Lane-slice
+                # any-reduces (1/G of the hit matrix each, total 1x) —
+                # the masked-iota form this replaces re-read the full
+                # [K2,R] matrix per group (G x the minimal cost); the
+                # slice form is the one occl_multi.py ships and compiles
+                # on hardware. A/B in tools/r3_hw_queue5.py; outputs
+                # bit-identical (tests/test_dense.py group-gate tests).
                 gword = jnp.zeros_like(cl_sub)
                 for g in range(G):
-                    any_g = jnp.any(cl_hit & (lane_g == g), axis=1,
-                                    keepdims=True)
+                    any_g = jnp.any(cl_hit[:, g * LANES:(g + 1) * LANES],
+                                    axis=1, keepdims=True)
                     gword = gword | jnp.where(any_g, jnp.int32(1 << g), 0)
             w_bits = jnp.left_shift(jnp.int32(1), cl_sub & 31)
             cl_lo = jnp.sum(jnp.where(good & (cl_sub < 32), w_bits, 0))
