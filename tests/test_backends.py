@@ -106,6 +106,31 @@ def test_defer_shadows_bit_exact(scene):
             np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
 
 
+def test_consolidate_secondary_bit_exact(scene):
+    """Depth>=1 shadow consolidation (cfg.consolidate_secondary,
+    wavefront/pack.py): live rays pack into leading blocks via one-hot
+    MXU matmuls, the occlusion dispatch runs on the packed wavefront,
+    masks scatter back. Occlusion is order-independent and the pack is
+    value-exact, so frames must be BIT-identical (hardware-verified in
+    tools/r3_hw_queue6.py; pinned here on both backends)."""
+    flat, tex, cam = scene
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+    cfg = dataclasses.replace(C.reference_config(), width=W, height=H)
+    for kind, interp in (("reference", False), ("dense", True)):
+        be = make_backend(flat, kind)
+        fb0, rc0 = render_frame(
+            be, tex, *args,
+            dataclasses.replace(cfg, consolidate_secondary=False),
+            interpret=interp)
+        fb1, rc1 = render_frame(
+            be, tex, *args,
+            dataclasses.replace(cfg, consolidate_secondary=True),
+            interpret=interp)
+        np.testing.assert_array_equal(np.asarray(fb0), np.asarray(fb1))
+        np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
+
+
 def test_recheck_secondary_matches_baseline(scene):
     """Two-level pregate (cfg.recheck_secondary: interval prologue +
     in-kernel per-ray re-check at DMA-issue time, rt/dense.py

@@ -93,6 +93,17 @@ class RenderConfig:
     # per-group btmax still prunes during the sweep as subtiles
     # converge — hardware row decides (tools/r3_hw_queue2.py).
     closest_d0_group_gate: bool = False
+    # Consolidate depth>=1 shadow wavefronts with the Pallas live-ray
+    # pack (wavefront/pack.py): a stable compaction by global live rank
+    # moves the ~10% live rays into the leading blocks (one-hot MXU
+    # matmuls + dynamic-read DMA — no XLA scatters, the cost class that
+    # killed the resort), traces the packed wavefront, and scatters the
+    # masks back. Masks bit-identical (order-independent any-hit +
+    # bit-exact pack, hardware-verified); frame bit-identical (CI).
+    # Measured: shadow_d1 199.4 -> 151.1 ms e2e including pack+scatter
+    # (tools/r3_hw_queue6.py). Depth-0 shadows stay unpacked (~78%
+    # occupancy — nothing to consolidate); closest_d1 measured a wash.
+    consolidate_secondary: bool = True
     # Defer ALL depths' shadow segments into ONE multi-segment occlusion
     # dispatch after the trace rounds (ns = max_depth * num_lights sets
     # share each surface tile's block): occlusion results never feed ray

@@ -39,7 +39,7 @@ import numpy as np
 
 from vkrt_tpu import config as C
 from vkrt_tpu.shade import shading
-from vkrt_tpu.wavefront import resort
+from vkrt_tpu.wavefront import pack, resort
 from vkrt_tpu.shade.sampling import (sample_material,
                                      sample_material_compact)
 from vkrt_tpu.utils import layout as L
@@ -472,6 +472,33 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                     # clusters beyond each segment's own surface (interval
                     # over-gates shadow cones 2-5x, tools/pregate_sim.py)
                     rcs = "recheck" if cfg.recheck_secondary else False
+                    # depth>=1 live-ray consolidation (wavefront/pack.py):
+                    # ~10% live rays pack into the leading blocks (stable
+                    # rank order keeps them tile-coherent), masks scatter
+                    # back bit-identically. 199.4 -> 151.1 ms measured
+                    # (tools/r3_hw_queue6.py).
+                    # dense backend only: the pack is a Pallas kernel
+                    # (the XLA ReferenceBackend gains nothing from
+                    # occupancy and must stay runnable uninterpreted on
+                    # CPU)
+                    cons = (cfg.consolidate_secondary and _depth >= 1
+                            and not rs_shadow and not rcs
+                            and isinstance(backend, DenseBackend))
+                    if cons:
+                        live = st[0] > 0
+                        for s in range(1, nl):
+                            live = live | (st[s] > 0)
+                        plan = pack.consolidate_plan(live, oblk)
+                        chans = [sd[s][a] for s in range(nl)
+                                 for a in range(3)] \
+                            + [st[s] for s in range(nl)]
+                        pk = pack.consolidate(
+                            chans, plan["grank"], plan["src_lo"],
+                            plan["src_hi"], block=oblk,
+                            interpret=interpret)
+                        sd = jnp.stack([jnp.stack(pk[s * 3:s * 3 + 3])
+                                        for s in range(nl)])
+                        st = jnp.stack(pk[3 * nl:])
                     occ_all = backend.occluded_multi(lights, sd, st,
                                                      interpret=interpret,
                                                      block=oblk,
@@ -480,6 +507,10 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                                                      pregate=rcs,
                                                      group_gate=
                                                      cfg.shadow_group_gate)
+                    if cons:
+                        occ_all = pack.scatter_back(
+                            occ_all.astype(jnp.float32), plan["grank"],
+                            block=oblk, interpret=interpret) > 0.5
                     if rs_shadow:
                         occ_all = resort.permute_rays(occ_all, sinv)
                 occs = list(occ_all)
