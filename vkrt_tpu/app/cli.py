@@ -48,8 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint path: saved every frame; resumes if present")
     p.add_argument("--raster", action="store_true",
                    help="use the classic raster pipeline instead of RT")
-    p.add_argument("--shard", action="store_true",
-                   help="shard rays across all visible devices (mesh render)")
+    p.add_argument("--shard", type=int, nargs="?", const=-1, default=None,
+                   metavar="N",
+                   help="shard rays across a device mesh: bare --shard = "
+                        "all visible devices; --shard N = an N-device "
+                        "mesh (when fewer devices are visible, re-execs "
+                        "onto a virtual N-device CPU mesh — the "
+                        "xla_force_host_platform_device_count recipe)")
     p.add_argument("--msaa", type=int, default=8, choices=[1, 8],
                    help="raster-path MSAA sample count")
     p.add_argument("--raster-method", choices=["auto", "edge", "wavefront"],
@@ -111,6 +116,31 @@ def resolve_config(args):
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 
+def _shard_devices(n: int):
+    """Resolve --shard N to a device list, re-exec'ing onto a virtual
+    N-device CPU mesh when fewer devices are visible (the
+    dryrun_multichip self-provisioning recipe). Returns the devices, or
+    None if this process must be replaced (the re-exec already ran)."""
+    import jax
+
+    devices = jax.devices()
+    if n <= 0 or n <= len(devices):
+        return devices if n <= 0 else devices[:n]
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append(f"--xla_force_host_platform_device_count={n}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    print(f"--shard {n}: only {len(devices)} device(s) visible — "
+          f"re-exec on a virtual {n}-device CPU mesh", file=sys.stderr)
+    r = subprocess.run([sys.executable, "-m", "vkrt_tpu.app.cli"]
+                       + list(sys.argv[1:]), env=env)
+    raise SystemExit(r.returncode)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = resolve_config(args)
@@ -133,7 +163,7 @@ def main(argv=None) -> int:
                                             render_raster_frame_sharded)
         from vkrt_tpu.wavefront.engine import cached_backend
 
-        mesh = make_mesh()
+        mesh = make_mesh(_shard_devices(args.shard))
         print(f"sharding raster pixels over {mesh.devices.size} devices",
               file=sys.stderr)
         _, tex, be = cached_backend(args.scene, args.max_texture_dim,
@@ -160,23 +190,27 @@ def main(argv=None) -> int:
                               msaa=args.msaa, method=args.raster_method,
                               interpret=interpret)
     elif args.shard:
+        import jax
         import jax.numpy as jnp
 
         from vkrt_tpu.parallel import make_mesh, render_frame_sharded
         from vkrt_tpu.wavefront.engine import cached_backend
 
-        mesh = make_mesh()
+        mesh = make_mesh(_shard_devices(args.shard))
         print(f"sharding rays over {mesh.devices.size} devices",
               file=sys.stderr)
         _, tex, be = cached_backend(args.scene, args.max_texture_dim,
                                     args.backend)
         lights = jnp.asarray(C.LIGHT_POSITIONS)
+        # Pallas kernels (dense backend) need interpret mode off-TPU
+        interpret = jax.default_backend() == "cpu"
 
         class _Sharded:
             def render(self, camera):
                 fb, rays = render_frame_sharded(
                     be, tex, jnp.asarray(camera.proj_inverse),
-                    jnp.asarray(camera.view_inverse), lights, cfg, mesh)
+                    jnp.asarray(camera.view_inverse), lights, cfg, mesh,
+                    interpret=interpret)
                 return np.asarray(fb), int(np.asarray(rays).sum())
 
         renderer = _Sharded()
