@@ -127,17 +127,33 @@ def main():
     if os.environ.get("VKRT_BENCH_REBUILD", "1") == "1" and backend == "dense":
         result.update(rebuild_bench(renderer))
     print(json.dumps(result))
-    # Gate on the outlier-aware metrics (see framebuffer.golden_metrics):
-    # raw RMSE at this size is dominated by a handful of boundary-ray
-    # visibility flips between two independent f32 tracers (measured
-    # ~2e-4 of pixels on hardware); systematic error (the round-2 bf16
-    # class, RMSE 0.104 over broad regions) trips both gates.
-    if (result.get("golden_rmse_trimmed", 0.0) > 1e-3
+    # Golden gates (see framebuffer.golden_metrics):
+    #   rmse_stable  — RAW RMSE at the BASELINE.json 1e-3 bar, over the
+    #                  oracle-CERTIFIED pixel set (pixels every correct
+    #                  f32 tracer must reproduce; the excluded ~boundary
+    #                  pixels are flagged a priori by the oracle's own
+    #                  margin analysis, never by observed diffs).
+    #   stable_frac  — the certification must cover >=90% of the image
+    #                  (a mask that eats the frame would be no gate).
+    #                  ~7-8% of 320x240 pixels legitimately carry a
+    #                  boundary-adjacent ray somewhere in their <=10-ray
+    #                  tree (4 lights + reflections); the density falls
+    #                  ~linearly with resolution (tools/r4_margin_tune.py
+    #                  hardware sweep: 0 certified flips at 0.924
+    #                  coverage with the shipped margins).
+    #   rmse_trimmed / flip_frac — the round-3 systematic-error
+    #                  tripwires (the bf16 classes trip these across
+    #                  broad regions, which no certification mask hides).
+    if (result.get("golden_rmse_stable", 0.0) > 1e-3
+            or result.get("golden_stable_frac", 1.0) < 0.90
+            or result.get("golden_rmse_trimmed", 0.0) > 1e-3
             or result.get("golden_flip_frac", 0.0) > 1e-3):
-        print(f"FAIL: golden gate — trimmed RMSE "
-              f"{result.get('golden_rmse_trimmed')} (bar 1e-3), flip_frac "
-              f"{result.get('golden_flip_frac')} (bar 1e-3): the frame is "
-              f"fast but WRONG", file=sys.stderr)
+        print(f"FAIL: golden gate — stable-set raw RMSE "
+              f"{result.get('golden_rmse_stable')} (bar 1e-3, certified "
+              f"frac {result.get('golden_stable_frac')} >= 0.90), trimmed "
+              f"{result.get('golden_rmse_trimmed')}, flip_frac "
+              f"{result.get('golden_flip_frac')} (bars 1e-3): the frame "
+              f"is fast but WRONG", file=sys.stderr)
         sys.exit(1)
 
 
@@ -169,13 +185,15 @@ def golden_check(renderer, texdim):
                          jnp.asarray(cam.proj_inverse),
                          jnp.asarray(cam.view_inverse), renderer.lights, cfg)
     model = cached_model(SCENE, texdim)
-    golden = render_golden(renderer.flat, build_texture_heap(model.images),
-                           cam.proj_inverse, cam.view_inverse, cfg,
-                           accel="native")
-    m = golden_metrics(np.asarray(fb), golden)
+    golden, stable = render_golden(
+        renderer.flat, build_texture_heap(model.images), cam.proj_inverse,
+        cam.view_inverse, cfg, accel="native", with_stable=True)
+    m = golden_metrics(np.asarray(fb), golden, stable=stable)
     return {"golden_rmse": round(m["rmse"], 6),
             "golden_rmse_trimmed": round(m["rmse_trimmed"], 6),
             "golden_flip_frac": round(m["flip_frac"], 6),
+            "golden_rmse_stable": round(m["rmse_stable"], 6),
+            "golden_stable_frac": round(m["stable_frac"], 6),
             "golden_config": "reference workload 320x240 (depth 2, 4 lights)"}
 
 

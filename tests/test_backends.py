@@ -78,6 +78,64 @@ def test_resort_secondary_matches_unsorted(scene):
                                           np.asarray(rc1))
 
 
+def test_group_sort_matches_unsorted(scene):
+    """GROUP (128-lane) granularity resort (cfg.group_sort_shadows /
+    group_sort_closest — wavefront/resort.py group_*): whole lane-groups
+    permute by mean-surface-point cell (shadows) or mean-dir octant +
+    origin cell (reflection closest) via one jnp.take along the Nb axis,
+    outputs inverse-permuted. Shadow masks are exactly
+    permutation-independent (any-hit) → shadow-only frames BIT-identical;
+    frames with reflections allclose (near-tie commits, the resort
+    contract)."""
+    flat, tex, cam = scene
+    # pin the unsorted baseline explicitly (group_sort_shadows defaults ON)
+    cfg = dataclasses.replace(C.reference_config(), width=W, height=H,
+                              group_sort_shadows=False)
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+    cfg_sh = dataclasses.replace(cfg, enable_reflections=False)
+    for kind, interp in (("reference", False), ("dense", True)):
+        be = make_backend(flat, kind)
+        for base_cfg, exact in ((cfg_sh, True), (cfg, False)):
+            cfg_gs = dataclasses.replace(base_cfg, group_sort_shadows=True,
+                                         group_sort_closest=True)
+            fb0, rc0 = render_frame(be, tex, *args, base_cfg,
+                                    interpret=interp)
+            fb1, rc1 = render_frame(be, tex, *args, cfg_gs,
+                                    interpret=interp)
+            if exact:
+                np.testing.assert_array_equal(np.asarray(fb0),
+                                              np.asarray(fb1))
+            else:
+                np.testing.assert_allclose(np.asarray(fb0),
+                                           np.asarray(fb1), atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(rc0),
+                                          np.asarray(rc1))
+
+
+def test_group_sort_composes_with_consolidation(scene):
+    """group_sort_shadows permutes groups BEFORE the depth>=1 pack
+    (wavefront/pack.py plans on the permuted liveness) and
+    inverse-permutes after scatter_back — the composition must stay
+    bit-identical on shadow masks."""
+    flat, tex, cam = scene
+    cfg = dataclasses.replace(C.reference_config(), width=W, height=H,
+                              enable_reflections=True)
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+    be = make_backend(flat, "dense")
+    fb0, rc0 = render_frame(
+        be, tex, *args,
+        dataclasses.replace(cfg, consolidate_secondary=True,
+                            group_sort_shadows=False), interpret=True)
+    fb1, rc1 = render_frame(
+        be, tex, *args,
+        dataclasses.replace(cfg, consolidate_secondary=True,
+                            group_sort_shadows=True), interpret=True)
+    np.testing.assert_array_equal(np.asarray(fb0), np.asarray(fb1))
+    np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
+
+
 def test_defer_shadows_bit_exact(scene):
     """Deferred shadows (cfg.defer_shadows: ONE multi-segment occlusion
     dispatch for every depth's shadow sets, ns = depths * lights) must be

@@ -98,13 +98,18 @@ def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
     attribute rows when with_attributes=True.
 
     device=True keeps sorting on device (the per-frame rebuild path,
-    BASELINE config 5) and always uses the Morton order. device=False
-    builds on the host (zero compile cost at startup) with `method`:
-    "split" (default — SAH-lite aligned median split, tighter cluster
-    AABBs) or "morton" (same order as the device path). `aabb=(lo, hi)`
-    bounds the Morton quantization range; if omitted it is computed on
-    the host (conservative bounds are fine — rebuilds under a transform
-    should pass the transformed cached AABB).
+    BASELINE config 5): method="morton" (one argsort — fastest) or
+    method="sah"/"split" (the round-4 device variable-cut SAH build,
+    accel/device_sah.py — one lax.sort + segmented scans per level;
+    quality parity with the host build: 9.70 vs 9.96 camera
+    clusters/ray on Sponza, tools/r4_device_sah_check.py, vs the
+    Morton order's 31.2). device=False builds on the host (zero
+    compile cost at startup) with `method`: "split" (default — the
+    variable-cut SAH recursion) or "morton" (same order as the device
+    morton path). `aabb=(lo, hi)` bounds the Morton quantization
+    range; if omitted it is computed on the host (conservative bounds
+    are fine — rebuilds under a transform should pass the transformed
+    cached AABB).
     """
     import numpy as np
     if aabb is None:
@@ -112,9 +117,13 @@ def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
         aabb = (c.min(axis=0), c.max(axis=0))
     if device:
         assert k1 == K1, "device rebuild path is fixed at K1=128"
-        lo = jnp.asarray(aabb[0], jnp.float32)
-        hi = jnp.asarray(aabb[1], jnp.float32)
-        order = _argsort(_morton_keys(v0, e1, e2, lo, hi))
+        if method in ("sah", "split"):
+            from vkrt_tpu.accel.device_sah import device_sah_order
+            order = device_sah_order(v0, e1, e2)
+        else:
+            lo = jnp.asarray(aabb[0], jnp.float32)
+            hi = jnp.asarray(aabb[1], jnp.float32)
+            order = _argsort(_morton_keys(v0, e1, e2, lo, hi))
         return _assemble(v0, e1, e2, order, attrs, with_attributes)
     # host path: zero compile cost — numpy order/assembly, one
     # device_put of the finished tree

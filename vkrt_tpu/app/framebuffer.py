@@ -37,7 +37,8 @@ def rmse(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def golden_metrics(a: np.ndarray, b: np.ndarray,
-                   trim: float = 1e-3, flip_thresh: float = 0.1) -> dict:
+                   trim: float = 1e-3, flip_thresh: float = 0.1,
+                   stable: np.ndarray | None = None) -> dict:
     """Outlier-aware golden comparison between two INDEPENDENT tracers.
 
     Raw RMSE at small resolutions is dominated by binary visibility flips
@@ -59,16 +60,36 @@ def golden_metrics(a: np.ndarray, b: np.ndarray,
                      shading breakage while tolerating isolated
                      boundary flips.
 
-    Raw rmse is reported alongside for the record."""
+    Raw rmse is reported alongside for the record.
+
+    `stable` (optional bool[H,W], from render_golden(with_stable=True)):
+    the ORACLE-certified pixel set — pixels whose every traced ray stays
+    outside float-rounding margins of any acceptance boundary, so any
+    correct f32 tracer must reproduce them. Adds:
+
+      rmse_stable   — raw (untrimmed) RMSE over the certified set; this
+                      is the principled raw-RMSE gate (the excluded
+                      pixels are identified a priori by the oracle's own
+                      geometry analysis, never by observed differences).
+      stable_frac   — certified fraction (sanity: the mask must not eat
+                      the image; bench asserts it stays >= 0.90 at
+                      320x240 — boundary-pixel density falls with
+                      resolution).
+    """
     ca = np.clip(np.asarray(a, dtype=np.float64), 0.0, 1.0)
     cb = np.clip(np.asarray(b, dtype=np.float64), 0.0, 1.0)
     sq = ((ca - cb) ** 2).mean(axis=-1)          # per-pixel
     n = sq.size
     k = max(1, int(n * (1.0 - trim)))
     trimmed = np.sort(sq.reshape(-1))[:k]
-    return {
+    out = {
         "rmse": float(np.sqrt(sq.mean())),
         "rmse_trimmed": float(np.sqrt(trimmed.mean())),
         "flip_frac": float((np.abs(ca - cb).max(axis=-1)
                             > flip_thresh).mean()),
     }
+    if stable is not None:
+        s = np.asarray(stable, bool).reshape(sq.shape)
+        out["rmse_stable"] = float(np.sqrt(sq[s].mean())) if s.any() else 0.0
+        out["stable_frac"] = float(s.mean())
+    return out

@@ -104,6 +104,21 @@ class RenderConfig:
     # (tools/r3_hw_queue6.py). Depth-0 shadows stay unpacked (~78%
     # occupancy — nothing to consolidate); closest_d1 measured a wash.
     consolidate_secondary: bool = True
+    # GROUP (128-lane) granularity resort of secondary dispatches
+    # (wavefront/resort.py group_*, round 4). The ray-granular resort
+    # above died on XLA's per-row scatter cost (~420 ms/frame at 1080p);
+    # permuting whole 128-lane groups — already spatially tight
+    # 8x16-pixel subtiles — is 128x fewer rows: the full roundtrip
+    # measured 12.6 ms on hardware (tools/r4_hw_queue.py). Hardware
+    # A/B: depth-0 shadows LOSE (146.1 -> 167.1 ms — a camera tile's
+    # intra-group depth spread survives any group-level key), packed
+    # depth>=1 shadows WIN (149.7 -> 142.3 ms: the group permutation
+    # makes the pack's leading blocks draw spatially-similar groups),
+    # reflection closest LOSES (94.5 -> 101.8). So group_sort_shadows
+    # applies at depth>=1 only (default ON, masks bit-identical);
+    # group_sort_closest is the recorded dead end (default OFF).
+    group_sort_shadows: bool = True
+    group_sort_closest: bool = False
     # Defer ALL depths' shadow segments into ONE multi-segment occlusion
     # dispatch after the trace rounds (ns = max_depth * num_lights sets
     # share each surface tile's block): occlusion results never feed ray

@@ -23,12 +23,17 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
+    src = os.path.join(_DIR, "tracer.cpp")
+    stale = (not os.path.exists(_SO)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_SO)))
+    if stale:
         try:
-            subprocess.run(["make", "-C", _DIR], check=True,
+            subprocess.run(["make", "-C", _DIR, "-B"], check=True,
                            capture_output=True)
         except Exception:
-            return None
+            if not os.path.exists(_SO):
+                return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
@@ -46,6 +51,14 @@ def _load() -> Optional[ctypes.CDLL]:
         f32p, i32p, f32p, f32p]
     lib.vkrt_trace_occluded.argtypes = [
         ctypes.c_void_p, f32p, f32p, f32p, ctypes.c_int32, ctypes.c_float, u8p]
+    lib.vkrt_trace_closest_stable.argtypes = [
+        ctypes.c_void_p, f32p, f32p, f32p, ctypes.c_int32, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        f32p, i32p, f32p, f32p, u8p]
+    lib.vkrt_trace_occluded_stable.argtypes = [
+        ctypes.c_void_p, f32p, f32p, f32p, ctypes.c_int32, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        u8p, u8p]
     _lib = lib
     return lib
 
@@ -99,3 +112,42 @@ class NativeBVH:
                 np.asarray(tmax, np.float32), (n,))),
             n, np.float32(tmin), out)
         return out.astype(bool)
+
+    # Stability-certified variants (golden-gate support): identical results
+    # plus a per-ray `stable` flag — True iff any correct f32 tracer must
+    # reproduce the answer (no acceptance boundary within the mu/mt
+    # margins; see tracer.cpp "Stability classification").
+    def closest_stable(self, origins, dirs, tmin, tmax,
+                       mu: float = 2e-5, mt: float = 1e-5,
+                       deps: float = 5e-7, oeps: float = 0.0):
+        n = origins.shape[0]
+        t = np.empty(n, np.float32)
+        tri = np.empty(n, np.int32)
+        u = np.empty(n, np.float32)
+        v = np.empty(n, np.float32)
+        stable = np.empty(n, np.uint8)
+        self._lib.vkrt_trace_closest_stable(
+            self._handle,
+            np.ascontiguousarray(origins, np.float32),
+            np.ascontiguousarray(dirs, np.float32),
+            np.ascontiguousarray(np.broadcast_to(
+                np.asarray(tmax, np.float32), (n,))),
+            n, np.float32(tmin), np.float32(mu), np.float32(mt),
+            np.float32(deps), np.float32(oeps), t, tri, u, v, stable)
+        return t, tri, u, v, stable.astype(bool)
+
+    def occluded_stable(self, origins, dirs, tmin, tmax,
+                        mu: float = 2e-5, mt: float = 1e-5,
+                        deps: float = 5e-7, oeps: float = 0.0):
+        n = origins.shape[0]
+        out = np.empty(n, np.uint8)
+        stable = np.empty(n, np.uint8)
+        self._lib.vkrt_trace_occluded_stable(
+            self._handle,
+            np.ascontiguousarray(origins, np.float32),
+            np.ascontiguousarray(dirs, np.float32),
+            np.ascontiguousarray(np.broadcast_to(
+                np.asarray(tmax, np.float32), (n,))),
+            n, np.float32(tmin), np.float32(mu), np.float32(mt),
+            np.float32(deps), np.float32(oeps), out, stable)
+        return out.astype(bool), stable.astype(bool)

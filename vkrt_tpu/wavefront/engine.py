@@ -358,6 +358,24 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                 tm_t = resort.permute_rays(tmax, perm)
             else:
                 o_t, d_t, tm_t = origins, dirs, tmax
+            # GROUP (128-lane) resort (round 4): one jnp.take along the
+            # Nb axis (~16k rows) instead of the ray-granular scatter
+            # that cost ~420 ms — groups keep their internal camera-tile
+            # coherence; the 8 groups sharing a 1024-ray block get
+            # similar mean-direction octants + origin cells.
+            gs_closest = (cfg.group_sort_closest and _depth >= 1
+                          and not rs_closest
+                          and getattr(backend, "scene_aabb", None)
+                          is not None)
+            if gs_closest:
+                gperm = resort.radix_partition_perm(
+                    resort.group_dir_key(d_t, o_t, active,
+                                         backend.scene_aabb),
+                    resort.GROUP_DIR_KEY_BITS)
+                ginv = resort.inverse_permutation(gperm)
+                o_t = resort.permute_groups(o_t, gperm)
+                d_t = resort.permute_groups(d_t, gperm)
+                tm_t = resort.permute_groups(tm_t, gperm)
             # two-level pregate (cfg.recheck_secondary): the interval
             # prologue nominates candidate clusters and the kernel
             # re-tests each per-ray at DMA-issue time — replaces the
@@ -376,6 +394,12 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                 v = resort.permute_rays(v, inv)
                 hitm = resort.permute_rays(hitm, inv)
                 attrs = resort.permute_rays(attrs, inv)
+            if gs_closest:
+                t = resort.permute_groups(t, ginv)
+                u = resort.permute_groups(u, ginv)
+                v = resort.permute_groups(v, ginv)
+                hitm = resort.permute_groups(hitm, ginv)
+                attrs = resort.permute_groups(attrs, ginv)
         ray_count = ray_count + active.astype(jnp.int32)
         hit = hitm & active
         miss = active & ~hitm
@@ -467,6 +491,33 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                         sinv = resort.inverse_permutation(sperm)
                         sd = resort.permute_rays(sd, sperm)
                         st = resort.permute_rays(st, sperm)
+                    # GROUP (128-lane) shadow resort (round 4): sort
+                    # groups by the Morton cell of their mean live
+                    # surface point — the point is SHARED by all NS
+                    # lights' segments, so one group permutation
+                    # re-tiles every set and the multi-segment kernel
+                    # stays intact. ~16k-row jnp.take, not the 420 ms
+                    # ray-granular scatter. Masks are exactly
+                    # permutation-independent (any-hit).
+                    # depth>=1 only: hardware A/B (tools/r4_hw_queue.py)
+                    # — d0 group-sort LOSES (146.1 -> 167.1 ms: camera
+                    # tiles' intra-group depth spread survives any
+                    # group-level key), d1-on-pack WINS (149.7 -> 142.3)
+                    gs_shadow = (cfg.group_sort_shadows and _depth >= 1
+                                 and not rs_shadow
+                                 and getattr(backend, "scene_aabb", None)
+                                 is not None)
+                    if gs_shadow:
+                        slive = st[0] > 0
+                        for s in range(1, nl):
+                            slive = slive | (st[s] > 0)
+                        gperm = resort.radix_partition_perm(
+                            resort.group_cell_key(pos, slive,
+                                                  backend.scene_aabb),
+                            resort.GROUP_CELL_KEY_BITS)
+                        ginv_s = resort.inverse_permutation(gperm)
+                        sd = resort.permute_groups(sd, gperm)
+                        st = resort.permute_groups(st, gperm)
                     # shadows are secondary at every depth: the per-ray
                     # `tn <= t(ray)` clause the re-check restores prunes
                     # clusters beyond each segment's own surface (interval
@@ -511,6 +562,8 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                         occ_all = pack.scatter_back(
                             occ_all.astype(jnp.float32), plan["grank"],
                             block=oblk, interpret=interpret) > 0.5
+                    if gs_shadow:
+                        occ_all = resort.permute_groups(occ_all, ginv_s)
                     if rs_shadow:
                         occ_all = resort.permute_rays(occ_all, sinv)
                 occs = list(occ_all)
@@ -642,7 +695,7 @@ class Renderer:
                  quantize: bool = False):
         self.cfg = cfg
         self.interpret = interpret
-        self.rebuild = rebuild      # "refit" (fast) | "full" (device re-sort)
+        self.rebuild = rebuild      # "refit" | "full" (device SAH) | "full_morton"
         self.quantize = quantize    # u8 fb + scalar rays on device (prod path)
         self.flat, self.tex, self.backend = cached_backend(
             model_path, max_texture_dim, backend)
@@ -650,7 +703,7 @@ class Renderer:
         self._frame = jax.jit(functools.partial(
             render_frame_u8 if quantize else render_frame,
             cfg=cfg, interpret=interpret))
-        if rebuild == "full":
+        if rebuild.startswith("full"):
             idx = np.asarray(self.flat.indices, dtype=np.int64)
             p = self.flat.positions
             self._v0 = jnp.asarray(p[idx[:, 0]])
@@ -681,7 +734,7 @@ class Renderer:
         if (self.cfg.rebuild_per_frame or transform is not None) and \
                 isinstance(backend, DenseBackend):
             m = jnp.eye(4) if transform is None else jnp.asarray(transform, jnp.float32)
-            if self.rebuild == "full":
+            if self.rebuild.startswith("full"):
                 backend = backend._replace(tree=self._full_rebuild(m))
             else:
                 from vkrt_tpu.accel.refit import refit_clusters
@@ -699,17 +752,21 @@ class Renderer:
 
     def _full_rebuild(self, m):
         """Per-frame FULL accel rebuild: transform geometry + attribute
-        directions on device, re-sort Morton order, assemble. Heavier
-        than refit (one argsort + permute gathers per frame) but restores
-        topology quality under large deformation."""
+        directions on device, re-order, assemble. rebuild="full" runs
+        the device variable-cut SAH build (accel/device_sah.py —
+        tree-quality parity with the host build, the driver-BLAS
+        analogue; ref: src/Raytracer.cpp:1027-1157); rebuild
+        "full_morton" keeps the round-3 Morton re-sort (faster build,
+        ~3x looser clusters — tools/r4_device_sah_check.py)."""
         from vkrt_tpu.accel.clusters import build_clusters
         v0, e1, e2, attrs = _transform_geometry(self._v0, self._e1,
                                                 self._e2, self._attrs, m)
         mc = np.asarray(m)
         corners = self._aabb_corners @ mc[:3, :3].T + mc[:3, 3]
         aabb = (corners.min(axis=0), corners.max(axis=0))
+        method = "morton" if self.rebuild == "full_morton" else "sah"
         return build_clusters(v0, e1, e2, attrs=attrs, with_attributes=True,
-                              device=True, aabb=aabb)
+                              device=True, aabb=aabb, method=method)
 
 
 @jax.jit

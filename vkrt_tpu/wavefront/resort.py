@@ -113,3 +113,81 @@ def cell_key(p: jax.Array, live: jax.Array, scene_aabb: jax.Array
         for b in range(CELL_BITS_PER_AXIS):
             key = key | (((q >> b) & 1) << (3 * b + a))
     return jnp.where(live.reshape(-1), key, 1 << (3 * CELL_BITS_PER_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# GROUP (128-lane) granularity resort — round 4.
+#
+# The ray-granular resort above is hardware-dead: its permutations move
+# 2M rows through XLA's ~30M scatter-rows/s ceiling (~420 ms/frame,
+# ROADMAP.md). Permutation cost is per-ROW, not per-byte — so permuting
+# whole 128-lane GROUPS (the engine's 8x16-pixel subtiles) is 128x fewer
+# rows: one jnp.take of [..., Nb, 128] along Nb (~16k rows at 1080p)
+# costs ~1 ms/array. Groups keep their internal camera-tile coherence;
+# sorting makes the 8 groups sharing a 1024-ray dispatch block have
+# SIMILAR keys (a tight block cone) instead of being adjacent screen
+# subtiles whose surface points span foreground + background.
+# Sim (tools/r4_chunksort_sim.py, real wavefront state) quantifies how
+# much of the ray-level win survives; hardware rows in tools/r4_hw_queue.
+# ---------------------------------------------------------------------------
+
+GROUP_CELL_BITS_PER_AXIS = 4
+GROUP_CELL_KEY_BITS = 3 * GROUP_CELL_BITS_PER_AXIS + 1   # + dead-tail bit
+GROUP_DIR_KEY_BITS = 3 + 3 * GROUP_CELL_BITS_PER_AXIS + 1
+
+
+def group_live_mean3(p: jax.Array, live: jax.Array):
+    """Per-group live-ray mean of a lane-major vector.
+
+    p [3,Nb,128], live bool[Nb,128] → (mean f32[3,Nb], any bool[Nb]).
+    [Nb]-sized reduction outputs are compile-safe (the ~150s landmine is
+    reductions to TINY outputs like [3] — CLAUDE.md)."""
+    cnt = jnp.maximum(jnp.sum(live.astype(jnp.float32), axis=-1), 1.0)
+    s = jnp.sum(jnp.where(live[None], p, 0.0), axis=-1)      # [3, Nb]
+    return s / cnt[None], jnp.any(live, axis=-1)
+
+
+def _quant_cell(mean: jax.Array, scene_aabb: jax.Array, bits: int):
+    """Morton-interleave a [3,Nb] point into 3*bits-bit cells."""
+    nbins = (1 << bits) - 1
+    lo = scene_aabb[0]
+    span = jnp.maximum(scene_aabb[1] - scene_aabb[0], 1e-6)
+    key = jnp.zeros(mean.shape[1], jnp.int32)
+    for a in range(3):
+        q = jnp.clip((mean[a] - lo[a]) / span[a] * (nbins + 1),
+                     0.0, float(nbins)).astype(jnp.int32)
+        for b in range(bits):
+            key = key | (((q >> b) & 1) << (3 * b + a))
+    return key
+
+
+def group_cell_key(p: jax.Array, live: jax.Array, scene_aabb: jax.Array
+                   ) -> jax.Array:
+    """Per-group Morton cell of the mean live surface point; all-dead
+    groups → the tail bucket. p [3,Nb,128], live bool[Nb,128] → i32[Nb].
+    GROUP_CELL_KEY_BITS-bit radix."""
+    mean, anyl = group_live_mean3(p, live)
+    key = _quant_cell(mean, scene_aabb, GROUP_CELL_BITS_PER_AXIS)
+    return jnp.where(anyl, key, 1 << (3 * GROUP_CELL_BITS_PER_AXIS))
+
+
+def group_dir_key(d: jax.Array, o: jax.Array, live: jax.Array,
+                  scene_aabb: jax.Array) -> jax.Array:
+    """Per-group mean-direction octant (major) + mean-origin Morton cell
+    (minor); all-dead groups → the tail bucket. GROUP_DIR_KEY_BITS-bit
+    radix. Stability of the radix partition keeps camera-tile order
+    within a bucket (the dirsort sims' dir+org result)."""
+    md, anyl = group_live_mean3(d, live)
+    mo, _ = group_live_mean3(o, live)
+    oct_ = ((md[0] < 0).astype(jnp.int32)
+            | ((md[1] < 0).astype(jnp.int32) << 1)
+            | ((md[2] < 0).astype(jnp.int32) << 2))
+    cell = _quant_cell(mo, scene_aabb, GROUP_CELL_BITS_PER_AXIS)
+    key = (oct_ << (3 * GROUP_CELL_BITS_PER_AXIS)) | cell
+    return jnp.where(anyl, key, 1 << (3 * GROUP_CELL_BITS_PER_AXIS + 3))
+
+
+def permute_groups(arr: jax.Array, perm: jax.Array) -> jax.Array:
+    """Apply a GROUP permutation to a lane-major array [..., Nb, 128]
+    (whole 128-lane rows move; lane order inside a group is untouched)."""
+    return jnp.take(arr, perm, axis=-2)
