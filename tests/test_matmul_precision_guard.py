@@ -38,6 +38,8 @@ PATTERNS = [
     (re.compile(r"\bjnp\.einsum\s*\("), "jnp.einsum"),
     (re.compile(r"\bjnp\.(dot|matmul|tensordot)\s*\("), "jnp.dot/matmul"),
     (re.compile(r"\bjax\.lax\.dot(_general)?\s*\("), "lax.dot_general"),
+    # Pallas in-kernel matmul (MXU; same bf16 default inside Mosaic)
+    (re.compile(r"\bpl\.dot\s*\("), "pl.dot"),
     # `x @ y` matmul operator (exclude decorators and comment mentions)
     (re.compile(r"^[^#@]*\S\s@\s"), "@ operator"),
 ]

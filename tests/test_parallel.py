@@ -12,7 +12,7 @@ from vkrt_tpu.wavefront.engine import render_frame
 
 def test_sharded_matches_single_device():
     import __graft_entry__ as g
-    backend, tex = g._tiny_scene()
+    backend, tex, _ = g._tiny_scene()
     cfg = C.RenderConfig(width=64, height=48, max_depth=2, num_lights=2,
                          enable_shadows=True, enable_reflections=True)
     cam = Camera(cfg.width, cfg.height)

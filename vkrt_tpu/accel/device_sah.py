@@ -72,32 +72,57 @@ def _seg_scan_box(flags, bmin, bmax, cnt, reverse=False):
                                     reverse=reverse)[1:]
 
 
-@partial(jax.jit, static_argnames=("max_levels",))
-def _device_sah_order(cen, tmin, tmax, valid, max_levels: int):
+@partial(jax.jit, static_argnames=("max_levels", "axis_mode"))
+def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
+                      axis_mode: str = "binned"):
     """Triangle permutation i32[Tp] (padding slots at the tail carry
     their original indices). cen/tmin/tmax f32[Tp,3] indexed by
-    ORIGINAL padded triangle id; valid bool[Tp] False on padding."""
+    ORIGINAL padded triangle id; valid bool[Tp] False on padding.
+
+    The level loop CARRIES the permuted triangle data (cen/tmin/tmax/
+    weight in current order) so each level applies exactly ONE gather
+    (by the sort's position permutation) instead of re-gathering every
+    operand from the original arrays twice per level — the dominant
+    cost of the first hardware version (502 ms at L16 on Sponza).
+
+    axis_mode:
+      "binned" — per-segment NBINS-binned SAH axis choice at triangle
+                 granularity (the expensive, most faithful form).
+      "extent" — largest per-segment triangle-centroid extent (the
+                 classic builder heuristic). MEASURED WORSE on Sponza:
+                 17.9 camera clusters/ray vs binned 9.70 (thin layered
+                 walls punish a wrong axis) — kept only as the
+                 quality-ablation reference.
+      "hybrid:N" — triangle-granularity binning for the first N levels
+                 (while chunks are still spatially mixed), then CHUNK-
+                 granularity binning (bin the [Nc] chunk boxes — three
+                 orders of magnitude fewer rows) for the rest.
+                 MEASURED WORSE at every N (28-65 clusters/ray) —
+                 kept as the ablation reference.
+      "sampled:S" — triangle binning on every S-th triangle of each
+                 chunk (the cut stays exact; only the axis estimate is
+                 sampled). MEASURED WORSE at S=4/8/16 (14.2/14.2/14.6
+                 clusters/ray) — a chunk's strided sample is spatially
+                 biased while chunks are mixed. Ablation reference.
+    """
     Tp = cen.shape[0]
     Nc = Tp // K1
 
+    stride = (int(axis_mode.split(":")[1])
+              if axis_mode.startswith("sampled") else 1)
+
     order = jnp.arange(Tp, dtype=jnp.int32)
     cb = jnp.zeros(Nc, jnp.bool_).at[0].set(True)
-    tcnt = valid.astype(jnp.float32)
+    w0 = valid.astype(jnp.float32)
 
-    def level(state, _):
-        order, cb = state
+    def level(state, _, tri_bins=True):
+        order, cb, cen_s, tmin_s, tmax_s, w_s = state
         sid_c = jnp.cumsum(cb.astype(jnp.int32)) - 1           # [Nc]
 
-        # chunk boxes/counts/centroids from the current order
-        omin = tmin[order].reshape(Nc, K1, 3)
-        omax = tmax[order].reshape(Nc, K1, 3)
-        cmin = omin.min(axis=1)
-        cmax = omax.max(axis=1)
-        ccnt = tcnt[order].reshape(Nc, K1).sum(axis=1)
-        # empty (all-padding) chunks: (INF + -INF)/2 = NaN — guard them
-        # out of the segment bounds and pin them to the top bin
-        nonempty = (ccnt > 0)[:, None]
-        ccen = jnp.where(nonempty, (cmin + cmax) * 0.5, 0.0)   # [Nc,3]
+        # chunk boxes/counts from the CARRIED (already permuted) data
+        omin = tmin_s.reshape(Nc, K1, 3)
+        omax = tmax_s.reshape(Nc, K1, 3)
+        ccnt = w_s.reshape(Nc, K1).sum(axis=1)
 
         # segment geometry (chunk granularity)
         seg_start = jnp.where(cb, jnp.arange(Nc, dtype=jnp.int32), 0)
@@ -111,15 +136,10 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int):
                                              nxt_after[::-1])[::-1]
         seg_len = nxt_after - seg_start                        # [Nc] chunks
 
-        # --- 1. binned SAH axis choice per segment ----------------------
-        # TRIANGLE-granularity binning: chunk-granular bins are garbage
-        # while chunks are still spatially mixed (level 0 chunks span the
-        # whole scene — measured 22.9 clusters/ray vs host 9.96 before
-        # this fix). Triangle boxes one-hot-reduce into per-chunk bin
-        # tables (NBINS small), then a cheap [Nc]-row segment reduce.
+        # --- 1. axis choice per segment ---------------------------------
         nseg = Nc
-        cen_o = cen[order].reshape(Nc, K1, 3)                   # [Nc,K1,3]
-        tvalid = (tcnt[order] > 0).reshape(Nc, K1)
+        cen_o = cen_s.reshape(Nc, K1, 3)                        # [Nc,K1,3]
+        tvalid = (w_s > 0).reshape(Nc, K1)
         tin = jnp.where(tvalid[..., None], cen_o, _INF)
         tix = jnp.where(tvalid[..., None], cen_o, -_INF)
         smin = jax.ops.segment_min(tin.min(axis=1), sid_c,
@@ -128,49 +148,121 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int):
                                    num_segments=nseg)
         lo_c = smin[sid_c]                                      # [Nc,3]
         span_c = jnp.maximum(smax[sid_c] - lo_c, 1e-12)
-        bin_t = jnp.clip((cen_o - lo_c[:, None, :]) / span_c[:, None, :]
-                         * NBINS, 0.0, NBINS - 1.0).astype(jnp.int32)
-        axis_cost = []
-        tw = tcnt[order].reshape(Nc, K1)
-        for ax in range(3):
-            bmns, bmxs, bcts = [], [], []
-            for b in range(NBINS):
-                m = tvalid & (bin_t[..., ax] == b)              # [Nc,K1]
-                cmn_b = jnp.where(m[..., None], omin, _INF).min(axis=1)
-                cmx_b = jnp.where(m[..., None], omax, -_INF).max(axis=1)
-                cct_b = (m * tw).sum(axis=1)
-                bmns.append(jax.ops.segment_min(cmn_b, sid_c,
-                                                num_segments=nseg))
-                bmxs.append(jax.ops.segment_max(cmx_b, sid_c,
-                                                num_segments=nseg))
-                bcts.append(jax.ops.segment_sum(cct_b, sid_c,
-                                                num_segments=nseg))
-            bmn = jnp.stack(bmns, axis=1)                       # [S,NB,3]
-            bmx = jnp.stack(bmxs, axis=1)
-            bct = jnp.stack(bcts, axis=1)                       # [S,NB]
-            # prefix/suffix over the NBINS axis
-            pmn = jax.lax.associative_scan(jnp.minimum, bmn, axis=1)
-            pmx = jax.lax.associative_scan(jnp.maximum, bmx, axis=1)
-            pct = jnp.cumsum(bct, axis=1)
-            smn = jax.lax.associative_scan(jnp.minimum, bmn, axis=1,
+
+        if axis_mode == "extent":
+            # largest triangle-centroid extent of the segment
+            best_ax = jnp.argmax(smax - smin, axis=1)           # [S]
+        elif not tri_bins:
+            # CHUNK-granularity binning: after the first few levels the
+            # sort has made chunks spatially tight, so binning the [Nc]
+            # chunk boxes (3 orders of magnitude fewer rows than
+            # triangles) gives the same axis choice at ~zero cost.
+            cmin = omin.min(axis=1)                             # [Nc,3]
+            cmax = omax.max(axis=1)
+            nonempty = ccnt > 0
+            ccen = jnp.where(nonempty[:, None], (cmin + cmax) * 0.5,
+                             _INF)
+            bin_c = jnp.clip((ccen - lo_c) / span_c * NBINS, 0.0,
+                             NBINS - 1.0).astype(jnp.int32)     # [Nc,3]
+            axis_cost = []
+            for ax in range(3):
+                bmns, bmxs, bcts = [], [], []
+                for b in range(NBINS):
+                    m = nonempty & (bin_c[:, ax] == b)          # [Nc]
+                    cmn_b = jnp.where(m[:, None], cmin, _INF)
+                    cmx_b = jnp.where(m[:, None], cmax, -_INF)
+                    cct_b = jnp.where(m, ccnt, 0.0)
+                    bmns.append(jax.ops.segment_min(cmn_b, sid_c,
+                                                    num_segments=nseg))
+                    bmxs.append(jax.ops.segment_max(cmx_b, sid_c,
+                                                    num_segments=nseg))
+                    bcts.append(jax.ops.segment_sum(cct_b, sid_c,
+                                                    num_segments=nseg))
+                bmn = jnp.stack(bmns, axis=1)                   # [S,NB,3]
+                bmx = jnp.stack(bmxs, axis=1)
+                bct = jnp.stack(bcts, axis=1)                   # [S,NB]
+                pmn = jax.lax.associative_scan(jnp.minimum, bmn, axis=1)
+                pmx = jax.lax.associative_scan(jnp.maximum, bmx, axis=1)
+                pct = jnp.cumsum(bct, axis=1)
+                smn = jax.lax.associative_scan(jnp.minimum, bmn, axis=1,
+                                               reverse=True)
+                smx = jax.lax.associative_scan(jnp.maximum, bmx, axis=1,
+                                               reverse=True)
+                sct = jnp.cumsum(bct[:, ::-1], axis=1)[:, ::-1]
+                aL = _area(jnp.maximum(pmx - pmn, 0.0))
+                aR = _area(jnp.maximum(smx - smn, 0.0))
+                cost = (aL[:, :-1] * pct[:, :-1]
+                        + aR[:, 1:] * sct[:, 1:])
+                cost = jnp.where((pct[:, :-1] > 0) & (sct[:, 1:] > 0),
+                                 cost, _INF)
+                axis_cost.append(cost.min(axis=1))
+            best_ax = jnp.argmin(jnp.stack(axis_cost, axis=1), axis=1)
+        else:
+            # TRIANGLE-granularity binned SAH: chunk-granular bins are
+            # garbage while chunks are still spatially mixed (level 0
+            # chunks span the whole scene — measured 22.9 clusters/ray
+            # vs host 9.96 before this fix; mixing granularities across
+            # levels is even worse — hybrid:2/4/6 = 65/53/28
+            # clusters/ray). Triangle boxes one-hot-reduce into
+            # per-chunk bin tables (NBINS small), then a cheap [Nc]-row
+            # segment reduce. The axis choice is only an ESTIMATE (the
+            # cut is exact post-sort), so a strided triangle SAMPLE is
+            # enough — `stride` divides the binning cost by S.
+            cen_b = cen_o[:, ::stride, :]                   # [Nc,K1/S,3]
+            omin_b = omin[:, ::stride, :]
+            omax_b = omax[:, ::stride, :]
+            tval_b = tvalid[:, ::stride]
+            bin_t = jnp.clip((cen_b - lo_c[:, None, :])
+                             / span_c[:, None, :]
+                             * NBINS, 0.0, NBINS - 1.0).astype(jnp.int32)
+            tw = w_s.reshape(Nc, K1)[:, ::stride]
+            # one-hot over bins: ONE fused masked reduce per axis
+            # (vs NBINS separate passes) and ONE batched segment
+            # reduce for all 3*NBINS tables (vs 144 small scatters —
+            # the dominant per-level launch overhead on TPU).
+            bmn_ax, bmx_ax, bct_ax = [], [], []
+            bid = jnp.arange(NBINS, dtype=jnp.int32)
+            for ax in range(3):
+                oh = (bin_t[..., ax][..., None] == bid) \
+                    & tval_b[..., None]                     # [Nc,K1/S,NB]
+                cmn = jnp.where(oh[..., None], omin_b[:, :, None, :],
+                                _INF).min(axis=1)           # [Nc,NB,3]
+                cmx = jnp.where(oh[..., None], omax_b[:, :, None, :],
+                                -_INF).max(axis=1)
+                cct = (oh * tw[..., None]).sum(axis=1)      # [Nc,NB]
+                bmn_ax.append(cmn)
+                bmx_ax.append(cmx)
+                bct_ax.append(cct)
+            bmn_c = jnp.stack(bmn_ax, axis=1)               # [Nc,3,NB,3]
+            bmx_c = jnp.stack(bmx_ax, axis=1)
+            bct_c = jnp.stack(bct_ax, axis=1)               # [Nc,3,NB]
+            bmn = jax.ops.segment_min(bmn_c, sid_c, num_segments=nseg)
+            bmx = jax.ops.segment_max(bmx_c, sid_c, num_segments=nseg)
+            bct = jnp.cumsum(jax.ops.segment_sum(
+                bct_c, sid_c, num_segments=nseg), axis=2)   # prefix cnt
+            # prefix/suffix over the NBINS axis, all 3 axes at once
+            pmn = jax.lax.associative_scan(jnp.minimum, bmn, axis=2)
+            pmx = jax.lax.associative_scan(jnp.maximum, bmx, axis=2)
+            pct = bct                                        # [S,3,NB]
+            smn = jax.lax.associative_scan(jnp.minimum, bmn, axis=2,
                                            reverse=True)
-            smx = jax.lax.associative_scan(jnp.maximum, bmx, axis=1,
+            smx = jax.lax.associative_scan(jnp.maximum, bmx, axis=2,
                                            reverse=True)
-            sct = jnp.cumsum(bct[:, ::-1], axis=1)[:, ::-1]
-            aL = _area(jnp.maximum(pmx - pmn, 0.0))             # [S,NB]
+            tot = bct[:, :, -1:]
+            sct = tot - jnp.concatenate(
+                [jnp.zeros_like(tot), bct[:, :, :-1]], axis=2)
+            aL = _area(jnp.maximum(pmx - pmn, 0.0))          # [S,3,NB]
             aR = _area(jnp.maximum(smx - smn, 0.0))
             # cut AFTER bin b: left = prefix[b], right = suffix[b+1]
-            cost = (aL[:, :-1] * pct[:, :-1]
-                    + aR[:, 1:] * sct[:, 1:])                   # [S,NB-1]
-            cost = jnp.where((pct[:, :-1] > 0) & (sct[:, 1:] > 0),
+            cost = (aL[:, :, :-1] * pct[:, :, :-1]
+                    + aR[:, :, 1:] * sct[:, :, 1:])          # [S,3,NB-1]
+            cost = jnp.where((pct[:, :, :-1] > 0) & (sct[:, :, 1:] > 0),
                              cost, _INF)
-            axis_cost.append(cost.min(axis=1))                  # [S]
-        best_ax = jnp.argmin(jnp.stack(axis_cost, axis=1), axis=1)  # [S]
+            best_ax = jnp.argmin(cost.min(axis=2), axis=1)   # [S]
 
         # --- 2. ONE stable sort by (segment, centroid on chosen axis) ---
         ax_t = jnp.repeat(best_ax[sid_c], K1)                   # [Tp]
-        key_cen = jnp.take_along_axis(cen_o.reshape(Nc * K1, 3),
-                                      ax_t[:, None], axis=1)[:, 0]
+        key_cen = jnp.take_along_axis(cen_s, ax_t[:, None], axis=1)[:, 0]
         # quantize within the segment's exact triangle-centroid span
         # (composite u32 key)
         lo_t = jnp.repeat(
@@ -182,16 +274,22 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int):
         q = jnp.clip((key_cen - lo_t) / span_t * ((1 << _CEN_BITS) - 1),
                      0.0, float((1 << _CEN_BITS) - 1)).astype(jnp.int32)
         # dead padding sorts to its segment's tail
-        q = jnp.where(tcnt[order] > 0, q, (1 << _CEN_BITS) - 1)
+        q = jnp.where(w_s > 0, q, (1 << _CEN_BITS) - 1)
         sid_t = jnp.repeat(sid_c, K1)
         key = (sid_t.astype(jnp.uint32) << _CEN_BITS) | q.astype(jnp.uint32)
-        _, order_new = jax.lax.sort((key, order), num_keys=1,
-                                    is_stable=True)
+        pos = jnp.arange(Tp, dtype=jnp.int32)
+        _, pos_new = jax.lax.sort((key, pos), num_keys=1, is_stable=True)
+        # ONE gather applies the level's permutation to every carried op
+        order_new = order[pos_new]
+        cen_n = cen_s[pos_new]
+        tmin_n = tmin_s[pos_new]
+        tmax_n = tmax_s[pos_new]
+        w_n = w_s[pos_new]
 
         # --- 3. exact SAH over the sorted order (chunk granularity) -----
-        nmin = tmin[order_new].reshape(Nc, K1, 3).min(axis=1)
-        nmax = tmax[order_new].reshape(Nc, K1, 3).max(axis=1)
-        ncnt = tcnt[order_new].reshape(Nc, K1).sum(axis=1)
+        nmin = tmin_n.reshape(Nc, K1, 3).min(axis=1)
+        nmax = tmax_n.reshape(Nc, K1, 3).max(axis=1)
+        ncnt = w_n.reshape(Nc, K1).sum(axis=1)
         pmn, pmx, pct = _seg_scan_box(cb, nmin, nmax, ncnt)
         # suffix scan: a segment ENDS where the next chunk starts one
         cb_rev_flags = jnp.concatenate([cb[1:], jnp.ones(1, jnp.bool_)])
@@ -223,14 +321,25 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int):
             jnp.clip(first_best, 0, Nc - 1)].max(
             (first_best < Nc).astype(jnp.int32))
         cb_new = cb | (bits > 0)
-        return (order_new, cb_new), 0
+        return (order_new, cb_new, cen_n, tmin_n, tmax_n, w_n), 0
 
-    (order, cb), _ = jax.lax.scan(level, (order, cb), None,
-                                  length=max_levels)
-    return order
+    state = (order, cb, cen, tmin, tmax, w0)
+    if axis_mode.startswith("hybrid"):
+        n_tri = min(int(axis_mode.split(":")[1]), max_levels)
+        if n_tri:
+            state, _ = jax.lax.scan(partial(level, tri_bins=True),
+                                    state, None, length=n_tri)
+        if max_levels > n_tri:
+            state, _ = jax.lax.scan(partial(level, tri_bins=False),
+                                    state, None,
+                                    length=max_levels - n_tri)
+    else:
+        state, _ = jax.lax.scan(level, state, None, length=max_levels)
+    return state[0]
 
 
-def device_sah_order(v0, e1, e2, max_levels: int = 20):
+def device_sah_order(v0, e1, e2, max_levels: int = 20,
+                     axis_mode: str = "binned"):
     """Device variable-cut SAH triangle permutation.
 
     v0/e1/e2 f32[T,3] (device arrays). Returns i32[T] (a permutation of
@@ -252,7 +361,8 @@ def device_sah_order(v0, e1, e2, max_levels: int = 20):
         cen = jnp.concatenate([cen, jnp.full((pad, 3), _INF)], axis=0)
     valid = jnp.arange(Tp) < T
 
-    order = _device_sah_order(cen, tmin, tmax, valid, max_levels)
+    order = _device_sah_order(cen, tmin, tmax, valid, max_levels,
+                              axis_mode)
     # strip padding slots, preserving order (stable compaction)
     if pad:
         keep_key = (order >= T).astype(jnp.int32)
