@@ -36,6 +36,7 @@ remains the static-scene path).
 
 from __future__ import annotations
 
+import re
 from functools import partial
 
 import jax
@@ -313,8 +314,8 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
         is_best = (cut_cost == best_cost[sid_c]) & valid_cut \
             & (best_cost[sid_c] < _INF)
         # first position achieving the min (deterministic tie-break)
-        pos = jnp.where(is_best, jnp.arange(Nc, dtype=jnp.int32), Nc)
-        first_best = jax.ops.segment_min(pos, sid_c, num_segments=Nc)
+        cand_pos = jnp.where(is_best, jnp.arange(Nc, dtype=jnp.int32), Nc)
+        first_best = jax.ops.segment_min(cand_pos, sid_c, num_segments=Nc)
         # scatter-MAX: unused segment slots all point at Nc-1 with value
         # 0 and must not clear a genuine bit there
         bits = jnp.zeros(Nc, jnp.int32).at[
@@ -345,6 +346,10 @@ def device_sah_order(v0, e1, e2, max_levels: int = 20,
     v0/e1/e2 f32[T,3] (device arrays). Returns i32[T] (a permutation of
     0..T-1 — padding slots are stripped). Fully jittable; one lax.sort
     + segmented scans per level (max_levels static)."""
+    if not re.fullmatch(r"binned|extent|hybrid:\d+|sampled:\d+", axis_mode):
+        raise ValueError(
+            f"axis_mode {axis_mode!r} invalid: expected 'binned', 'extent', "
+            f"'hybrid:N' or 'sampled:S' (N/S integers)")
     T = v0.shape[0]
     Tp = -(-T // K1) * K1
     pad = Tp - T
