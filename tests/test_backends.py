@@ -216,3 +216,67 @@ def test_recheck_secondary_matches_baseline(scene):
             np.testing.assert_allclose(np.asarray(fb0), np.asarray(fb1),
                                        atol=1e-5)
         np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
+
+
+def test_partition_shadows_bit_exact(scene):
+    """Two-level per-ray repartition of shadow dispatches
+    (cfg.partition_shadows — wavefront/lanesort.py in-block stable sort
+    by fine surface-point cell, then the group radix partition over the
+    now key-pure groups). Only pos + a cast bitmask move; sd/st are
+    recomputed elementwise from the moved point, occlusion masks are
+    visit-order independent, and the one-hot moves are value-exact, so
+    frames must be BIT-identical — in both compositions with the
+    depth>=1 pack (partition of the packed prefix / no pack)."""
+    flat, tex, cam = scene
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+    cfg = dataclasses.replace(C.reference_config(), width=W, height=H,
+                              enable_reflections=False)
+    be = make_backend(flat, "dense")
+    for cons in (False, True):
+        base = dataclasses.replace(cfg, consolidate_secondary=cons,
+                                   partition_shadows=False)
+        part = dataclasses.replace(base, partition_shadows=True)
+        fb0, rc0 = render_frame(be, tex, *args, base, interpret=True)
+        fb1, rc1 = render_frame(be, tex, *args, part, interpret=True)
+        np.testing.assert_array_equal(np.asarray(fb0), np.asarray(fb1))
+        np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
+
+
+def test_partition_shadows_with_reflections(scene):
+    """partition_shadows under the full depth-2 workload (shadow sets at
+    both depths, pack composition at depth 1): shadow masks stay exact,
+    so the frame is bit-identical — the closest dispatch is untouched."""
+    flat, tex, cam = scene
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+    cfg = dataclasses.replace(C.reference_config(), width=W, height=H)
+    be = make_backend(flat, "dense")
+    fb0, rc0 = render_frame(be, tex, *args, cfg, interpret=True)
+    fb1, rc1 = render_frame(
+        be, tex, *args,
+        dataclasses.replace(cfg, partition_shadows=True), interpret=True)
+    np.testing.assert_array_equal(np.asarray(fb0), np.asarray(fb1))
+    np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
+
+
+def test_partition_closest_matches_baseline(scene):
+    """cfg.partition_closest re-tiles the depth>=1 reflection closest
+    dispatch (octant + origin-cell lane sort, then group partition).
+    Closest results are order-independent up to ~1-ulp NEAR-TIE commits
+    (the resort contract), so the frame is allclose; all 40 output
+    channels (t/u/v/hit + 36 attrs) return through one exact inverse
+    pass with t's inf miss sentinel sanitized around the one-hot matmul."""
+    flat, tex, cam = scene
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+    cfg = dataclasses.replace(C.reference_config(), width=W, height=H)
+    be = make_backend(flat, "dense")
+    fb0, rc0 = render_frame(be, tex, *args, cfg, interpret=True)
+    fb1, rc1 = render_frame(
+        be, tex, *args,
+        dataclasses.replace(cfg, partition_closest=True), interpret=True)
+    fb0, fb1 = np.asarray(fb0), np.asarray(fb1)
+    assert np.isfinite(fb1).all()
+    np.testing.assert_allclose(fb0, fb1, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))

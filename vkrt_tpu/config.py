@@ -134,6 +134,22 @@ class RenderConfig:
     # it. Falls back to per-depth dispatches when the resort/recheck
     # machinery is enabled (those permute per depth).
     defer_shadows: bool = False
+    # Two-level per-ray repartition of secondary dispatches
+    # (wavefront/lanesort.py, round 5): a Pallas stable in-BLOCK sort of
+    # rays by a fine Morton/octant key (one-hot MXU permutes — no
+    # scatters, no cross-block DMA) makes every 128-lane group
+    # key-contiguous, then the cheap GROUP radix partition re-tiles the
+    # now-coherent groups into coherent blocks — approximating the
+    # global ray sort (sims: 0.40x shadow_d0 / 0.13-0.28x shadow_d1 /
+    # 0.51x closest_d1 total sweeps) at group granularity without the
+    # ~420 ms XLA permutation cost that killed the exact version.
+    # Shadow masks bit-identical (any-hit + exact one-hot moves);
+    # closest equal up to ~1-ulp near-tie commits (resort contract).
+    # partition_shadows composes with consolidate_secondary at depth>=1
+    # (pack first, partition the packed prefix). Defaults pending the
+    # round-5 hardware rows (tools/r5_hw_queue.py).
+    partition_shadows: bool = False
+    partition_closest: bool = False
 
     @property
     def resolution(self) -> Tuple[int, int]:

@@ -39,7 +39,7 @@ import numpy as np
 
 from vkrt_tpu import config as C
 from vkrt_tpu.shade import shading
-from vkrt_tpu.wavefront import pack, resort
+from vkrt_tpu.wavefront import lanesort, pack, resort
 from vkrt_tpu.shade.sampling import (sample_material,
                                      sample_material_compact)
 from vkrt_tpu.utils import layout as L
@@ -319,7 +319,7 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
     defer = (cfg.defer_shadows and cfg.enable_shadows
              and cfg.num_lights > 0 and cfg.max_depth > 1
              and not cfg.flat_albedo and not cfg.resort_secondary
-             and not cfg.recheck_secondary)
+             and not cfg.recheck_secondary and not cfg.partition_shadows)
     deferred = []
 
     for _depth in range(cfg.max_depth):
@@ -376,6 +376,35 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                 o_t = resort.permute_groups(o_t, gperm)
                 d_t = resort.permute_groups(d_t, gperm)
                 tm_t = resort.permute_groups(tm_t, gperm)
+            # two-level per-ray repartition (round 5, wavefront/
+            # lanesort.py): a Pallas stable in-block sort by
+            # direction-octant + origin-cell makes every 128-lane group
+            # key-contiguous, then the cheap group radix partition
+            # re-tiles coherent groups into coherent blocks — the
+            # ray-granular coherence the sims wanted (0.51x closest_d1
+            # sweeps) without the ~420 ms XLA permutation.
+            pt_closest = (cfg.partition_closest and _depth >= 1
+                          and not rs_closest and not gs_closest
+                          and isinstance(backend, DenseBackend)
+                          and getattr(backend, "scene_aabb", None)
+                          is not None)
+            if pt_closest:
+                lkey = lanesort.dir_cell_key_fine(
+                    d_t, o_t, tm_t > 0, backend.scene_aabb, bits=5)
+                (c0, c1, c2, c3, c4, c5, c6), rank_c = lanesort.lane_sort(
+                    [o_t[0], o_t[1], o_t[2], d_t[0], d_t[1], d_t[2],
+                     tm_t], lkey, block=cblk, interpret=interpret)
+                o_t = jnp.stack([c0, c1, c2])
+                d_t = jnp.stack([c3, c4, c5])
+                tm_t = c6
+                gperm_c = resort.radix_partition_perm(
+                    resort.group_dir_key(d_t, o_t, tm_t > 0,
+                                         backend.scene_aabb),
+                    resort.GROUP_DIR_KEY_BITS)
+                ginv_c = resort.inverse_permutation(gperm_c)
+                o_t = resort.permute_groups(o_t, gperm_c)
+                d_t = resort.permute_groups(d_t, gperm_c)
+                tm_t = resort.permute_groups(tm_t, gperm_c)
             # two-level pregate (cfg.recheck_secondary): the interval
             # prologue nominates candidate clusters and the kernel
             # re-tests each per-ray at DMA-issue time — replaces the
@@ -394,6 +423,20 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                 v = resort.permute_rays(v, inv)
                 hitm = resort.permute_rays(hitm, inv)
                 attrs = resort.permute_rays(attrs, inv)
+            if pt_closest:
+                # one inverse pass over all 40 channels; t's inf miss
+                # sentinel would NaN through the one-hot matmul (inf*0),
+                # so it travels sanitized and is restored afterwards
+                t_fin = jnp.where(hitm, t, 0.0)
+                res = jnp.concatenate(
+                    [jnp.stack([t_fin, u, v,
+                                hitm.astype(jnp.float32)]), attrs])
+                res = resort.permute_groups(res, ginv_c)
+                res = lanesort.lane_unsort(res, rank_c, block=cblk,
+                                           interpret=interpret)
+                hitm = res[3] > 0.5
+                t = jnp.where(hitm, res[0], jnp.inf)
+                u, v, attrs = res[1], res[2], res[4:]
             if gs_closest:
                 t = resort.permute_groups(t, ginv)
                 u = resort.permute_groups(u, ginv)
@@ -503,8 +546,24 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                     # — d0 group-sort LOSES (146.1 -> 167.1 ms: camera
                     # tiles' intra-group depth spread survives any
                     # group-level key), d1-on-pack WINS (149.7 -> 142.3)
+                    rcs = "recheck" if cfg.recheck_secondary else False
+                    # two-level per-ray repartition (round 5): in-block
+                    # Pallas lane sort by fine surface-point Morton cell
+                    # (the SHARED point keeps all NS light sets
+                    # row-aligned under ONE permutation — the
+                    # multi-segment kernel is preserved), then the group
+                    # radix partition over the now key-pure groups.
+                    # Composes with the depth>=1 pack (packed prefix is
+                    # what gets sorted). Only pos + a cast bitmask move
+                    # (4 channels); sd/st are recomputed bit-identically
+                    # from the moved point. Masks bit-identical.
+                    pt_shadow = (cfg.partition_shadows and not rs_shadow
+                                 and not rcs
+                                 and isinstance(backend, DenseBackend)
+                                 and getattr(backend, "scene_aabb", None)
+                                 is not None)
                     gs_shadow = (cfg.group_sort_shadows and _depth >= 1
-                                 and not rs_shadow
+                                 and not rs_shadow and not pt_shadow
                                  and getattr(backend, "scene_aabb", None)
                                  is not None)
                     if gs_shadow:
@@ -522,7 +581,7 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                     # `tn <= t(ray)` clause the re-check restores prunes
                     # clusters beyond each segment's own surface (interval
                     # over-gates shadow cones 2-5x, tools/pregate_sim.py)
-                    rcs = "recheck" if cfg.recheck_secondary else False
+                    # (rcs/pt_shadow resolved above, before gs_shadow)
                     # depth>=1 live-ray consolidation (wavefront/pack.py):
                     # ~10% live rays pack into the leading blocks (stable
                     # rank order keeps them tile-coherent), masks scatter
@@ -534,7 +593,56 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                     # CPU)
                     cons = (cfg.consolidate_secondary and _depth >= 1
                             and not rs_shadow and not rcs
+                            and not pt_shadow
                             and isinstance(backend, DenseBackend))
+                    if pt_shadow:
+                        castmask = casts[0].astype(jnp.float32)
+                        for s in range(1, nl):
+                            castmask = (castmask
+                                        + casts[s].astype(jnp.float32)
+                                        * float(1 << s))
+                        pt_cons = (cfg.consolidate_secondary
+                                   and _depth >= 1)
+                        if pt_cons:
+                            plan_p = pack.consolidate_plan(castmask > 0,
+                                                           oblk)
+                            pk = pack.consolidate(
+                                [pos[0], pos[1], pos[2], castmask],
+                                plan_p["grank"], plan_p["src_lo"],
+                                plan_p["src_hi"], block=oblk,
+                                interpret=interpret)
+                            pos_k = jnp.stack(pk[:3])
+                            cm_k = pk[3]
+                        else:
+                            pos_k, cm_k = pos, castmask
+                        lkey = lanesort.cell_key_fine(
+                            pos_k, cm_k > 0, backend.scene_aabb, bits=6)
+                        (p0, p1, p2, cmv), rank_s = lanesort.lane_sort(
+                            [pos_k[0], pos_k[1], pos_k[2], cm_k], lkey,
+                            block=oblk, interpret=interpret)
+                        pos_p = jnp.stack([p0, p1, p2])
+                        gperm_s = resort.radix_partition_perm(
+                            resort.group_cell_key(pos_p, cmv > 0,
+                                                  backend.scene_aabb),
+                            resort.GROUP_CELL_KEY_BITS)
+                        ginv_ps = resort.inverse_permutation(gperm_s)
+                        pos_p = resort.permute_groups(pos_p, gperm_s)
+                        cmi = resort.permute_groups(
+                            cmv, gperm_s).astype(jnp.int32)
+                        # sd/st recomputed from the moved point —
+                        # light_geometry is elementwise on identical f32
+                        # inputs, so values are bit-identical to
+                        # permuting the precomputed arrays
+                        sd_l, st_l = [], []
+                        for li in range(nl):
+                            ldir, ldist, _ = shading.light_geometry(
+                                pos_p, lights[li])
+                            cast_p = ((cmi >> li) & 1) > 0
+                            sd_l.append(-ldir)
+                            st_l.append(jnp.where(
+                                cast_p, ldist - C.RAY_TMIN, 0.0))
+                        sd = jnp.stack(sd_l)
+                        st = jnp.stack(st_l)
                     if cons:
                         live = st[0] > 0
                         for s in range(1, nl):
@@ -554,7 +662,8 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                                                      interpret=interpret,
                                                      block=oblk,
                                                      sort=_depth == 0
-                                                     and not rcs,
+                                                     and not rcs
+                                                     and not pt_shadow,
                                                      pregate=rcs,
                                                      group_gate=
                                                      cfg.shadow_group_gate)
@@ -562,6 +671,17 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                         occ_all = pack.scatter_back(
                             occ_all.astype(jnp.float32), plan["grank"],
                             block=oblk, interpret=interpret) > 0.5
+                    if pt_shadow:
+                        occ_f = resort.permute_groups(
+                            occ_all.astype(jnp.float32), ginv_ps)
+                        occ_f = lanesort.lane_unsort(
+                            occ_f, rank_s, block=oblk,
+                            interpret=interpret)
+                        if pt_cons:
+                            occ_f = pack.scatter_back(
+                                occ_f, plan_p["grank"], block=oblk,
+                                interpret=interpret)
+                        occ_all = occ_f > 0.5
                     if gs_shadow:
                         occ_all = resort.permute_groups(occ_all, ginv_s)
                     if rs_shadow:
