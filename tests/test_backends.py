@@ -280,3 +280,28 @@ def test_partition_closest_matches_baseline(scene):
     assert np.isfinite(fb1).all()
     np.testing.assert_allclose(fb0, fb1, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
+
+
+def test_partition_shadows_capped_prefix_bit_exact(scene):
+    """At wavefronts with >=8 occlusion blocks the lane sort runs only
+    on the packed live prefix (first quarter of blocks) and the tail is
+    identity — exactness must not depend on the cap (live rays beyond
+    it only lose coherence). 128x96 -> 12288 rays = 12 blocks of 1024,
+    capr = 3 blocks."""
+    flat, tex, _ = scene
+    cam = Camera(128, 96)
+    cam.set_position(C.CAMERA_START_POSITION)
+    cam.set_rotation(C.CAMERA_START_ROTATION)
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+    cfg = dataclasses.replace(C.reference_config(), width=128, height=96,
+                              consolidate_secondary=True)
+    be = make_backend(flat, "dense")
+    fb0, rc0 = render_frame(
+        be, tex, *args,
+        dataclasses.replace(cfg, partition_shadows=False), interpret=True)
+    fb1, rc1 = render_frame(
+        be, tex, *args,
+        dataclasses.replace(cfg, partition_shadows=True), interpret=True)
+    np.testing.assert_array_equal(np.asarray(fb0), np.asarray(fb1))
+    np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))

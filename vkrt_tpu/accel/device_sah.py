@@ -73,9 +73,9 @@ def _seg_scan_box(flags, bmin, bmax, cnt, reverse=False):
                                     reverse=reverse)[1:]
 
 
-@partial(jax.jit, static_argnames=("max_levels", "axis_mode"))
+@partial(jax.jit, static_argnames=("max_levels", "axis_mode", "stable"))
 def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
-                      axis_mode: str = "binned"):
+                      axis_mode: str = "binned", stable: bool = True):
     """Triangle permutation i32[Tp] (padding slots at the tail carry
     their original indices). cen/tmin/tmax f32[Tp,3] indexed by
     ORIGINAL padded triangle id; valid bool[Tp] False on padding.
@@ -85,6 +85,14 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
     (by the sort's position permutation) instead of re-gathering every
     operand from the original arrays twice per level — the dominant
     cost of the first hardware version (502 ms at L16 on Sponza).
+    Round 5: the carry is PACKED into one [Tp,11] array so the level's
+    permutation is ONE wide-row gather instead of five narrow ones —
+    gather cost is per-ROW, not per-byte (the sampling-heap result,
+    ROADMAP.md), so this cuts the gather share 5x. `stable=False` drops
+    the sort's stability guarantee: tied (segment, quantized-centroid)
+    keys may land in either order — still a valid permutation with
+    identical SAH cut counts (ties share a centroid cell), kept as a
+    measured timing knob (tools/r5_hw_queue2.py).
 
     axis_mode:
       "binned" — per-segment NBINS-binned SAH axis choice at triangle
@@ -115,9 +123,18 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
     order = jnp.arange(Tp, dtype=jnp.int32)
     cb = jnp.zeros(Nc, jnp.bool_).at[0].set(True)
     w0 = valid.astype(jnp.float32)
+    # packed carry: cen | tmin | tmax | w | order  (order exact in f32
+    # for Tp < 2**24)
+    S0 = jnp.concatenate(
+        [cen, tmin, tmax, w0[:, None], order.astype(jnp.float32)[:, None]],
+        axis=1)                                                # [Tp,11]
 
     def level(state, _, tri_bins=True):
-        order, cb, cen_s, tmin_s, tmax_s, w_s = state
+        S, cb = state
+        cen_s = S[:, 0:3]
+        tmin_s = S[:, 3:6]
+        tmax_s = S[:, 6:9]
+        w_s = S[:, 9]
         sid_c = jnp.cumsum(cb.astype(jnp.int32)) - 1           # [Nc]
 
         # chunk boxes/counts from the CARRIED (already permuted) data
@@ -279,13 +296,13 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
         sid_t = jnp.repeat(sid_c, K1)
         key = (sid_t.astype(jnp.uint32) << _CEN_BITS) | q.astype(jnp.uint32)
         pos = jnp.arange(Tp, dtype=jnp.int32)
-        _, pos_new = jax.lax.sort((key, pos), num_keys=1, is_stable=True)
-        # ONE gather applies the level's permutation to every carried op
-        order_new = order[pos_new]
-        cen_n = cen_s[pos_new]
-        tmin_n = tmin_s[pos_new]
-        tmax_n = tmax_s[pos_new]
-        w_n = w_s[pos_new]
+        _, pos_new = jax.lax.sort((key, pos), num_keys=1, is_stable=stable)
+        # ONE wide-row gather applies the level's permutation to the
+        # whole packed carry (gather cost is per-row, not per-byte)
+        S_new = S[pos_new]
+        tmin_n = S_new[:, 3:6]
+        tmax_n = S_new[:, 6:9]
+        w_n = S_new[:, 9]
 
         # --- 3. exact SAH over the sorted order (chunk granularity) -----
         nmin = tmin_n.reshape(Nc, K1, 3).min(axis=1)
@@ -322,9 +339,9 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
             jnp.clip(first_best, 0, Nc - 1)].max(
             (first_best < Nc).astype(jnp.int32))
         cb_new = cb | (bits > 0)
-        return (order_new, cb_new, cen_n, tmin_n, tmax_n, w_n), 0
+        return (S_new, cb_new), 0
 
-    state = (order, cb, cen, tmin, tmax, w0)
+    state = (S0, cb)
     if axis_mode.startswith("hybrid"):
         n_tri = min(int(axis_mode.split(":")[1]), max_levels)
         if n_tri:
@@ -336,11 +353,11 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
                                     length=max_levels - n_tri)
     else:
         state, _ = jax.lax.scan(level, state, None, length=max_levels)
-    return state[0]
+    return state[0][:, 10].astype(jnp.int32)
 
 
 def device_sah_order(v0, e1, e2, max_levels: int = 20,
-                     axis_mode: str = "binned"):
+                     axis_mode: str = "binned", stable: bool = True):
     """Device variable-cut SAH triangle permutation.
 
     v0/e1/e2 f32[T,3] (device arrays). Returns i32[T] (a permutation of
@@ -367,7 +384,7 @@ def device_sah_order(v0, e1, e2, max_levels: int = 20,
     valid = jnp.arange(Tp) < T
 
     order = _device_sah_order(cen, tmin, tmax, valid, max_levels,
-                              axis_mode)
+                              axis_mode, stable)
     # strip padding slots, preserving order (stable compaction)
     if pad:
         keep_key = (order >= T).astype(jnp.int32)

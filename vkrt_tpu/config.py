@@ -146,9 +146,16 @@ class RenderConfig:
     # Shadow masks bit-identical (any-hit + exact one-hot moves);
     # closest equal up to ~1-ulp near-tie commits (resort contract).
     # partition_shadows composes with consolidate_secondary at depth>=1
-    # (pack first, partition the packed prefix). Defaults pending the
-    # round-5 hardware rows (tools/r5_hw_queue.py).
-    partition_shadows: bool = False
+    # (pack first, lane-sort only the packed live prefix). Hardware A/B
+    # (tools/r5_hw_queue.py, 1080p config 4): partition roundtrip
+    # 26.6 ms; depth-1 shadows WIN 142.3 -> 130.1 ms e2e (masks
+    # bit-equal) — default ON, applied at depth>=1 only (depth-0 camera
+    # tiles LOSE 146.6 -> 152.4: the lane-sort roundtrip exceeds the
+    # re-tiling win on already-coherent tiles). partition_closest is
+    # the recorded dead end (95.0 -> 110.2 ms: the 40-channel output
+    # inverse costs more than the cone win; results bit-equal on all
+    # 314k live rays) — default OFF.
+    partition_shadows: bool = True
     partition_closest: bool = False
 
     @property

@@ -557,8 +557,14 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                     # what gets sorted). Only pos + a cast bitmask move
                     # (4 channels); sd/st are recomputed bit-identically
                     # from the moved point. Masks bit-identical.
-                    pt_shadow = (cfg.partition_shadows and not rs_shadow
-                                 and not rcs
+                    # depth>=1 only: the round-5 hardware A/B
+                    # (tools/r5_hw_queue.py, /tmp/r5q1b.out) — depth-0
+                    # camera tiles LOSE (146.6 -> 152.4 ms: the ~20 ms
+                    # lane-sort roundtrip exceeds the re-tiling win on
+                    # already-coherent tiles), packed depth-1 WINS
+                    # (142.3 -> 130.1 ms, masks bit-equal).
+                    pt_shadow = (cfg.partition_shadows and _depth >= 1
+                                 and not rs_shadow and not rcs
                                  and isinstance(backend, DenseBackend)
                                  and getattr(backend, "scene_aabb", None)
                                  is not None)
@@ -615,11 +621,29 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                             cm_k = pk[3]
                         else:
                             pos_k, cm_k = pos, castmask
+                        # the pack left every live ray in the leading
+                        # blocks, so the lane sort only needs the first
+                        # quarter of rows (live fraction ~10% at d1,
+                        # measured) — the tail is identity. Exactness
+                        # is unaffected if live rays ever exceed the
+                        # cap; only their coherence is.
+                        nb2 = cm_k.shape[0]
+                        rpb = oblk // L.LANES
+                        capr = nb2
+                        if pt_cons and nb2 // rpb >= 8:
+                            capr = -(-(nb2 // rpb) // 4) * rpb
                         lkey = lanesort.cell_key_fine(
-                            pos_k, cm_k > 0, backend.scene_aabb, bits=6)
+                            pos_k[:, :capr], cm_k[:capr] > 0,
+                            backend.scene_aabb, bits=6)
                         (p0, p1, p2, cmv), rank_s = lanesort.lane_sort(
-                            [pos_k[0], pos_k[1], pos_k[2], cm_k], lkey,
+                            [pos_k[0][:capr], pos_k[1][:capr],
+                             pos_k[2][:capr], cm_k[:capr]], lkey,
                             block=oblk, interpret=interpret)
+                        if capr < nb2:
+                            p0 = jnp.concatenate([p0, pos_k[0][capr:]])
+                            p1 = jnp.concatenate([p1, pos_k[1][capr:]])
+                            p2 = jnp.concatenate([p2, pos_k[2][capr:]])
+                            cmv = jnp.concatenate([cmv, cm_k[capr:]])
                         pos_p = jnp.stack([p0, p1, p2])
                         gperm_s = resort.radix_partition_perm(
                             resort.group_cell_key(pos_p, cmv > 0,
@@ -674,9 +698,12 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                     if pt_shadow:
                         occ_f = resort.permute_groups(
                             occ_all.astype(jnp.float32), ginv_ps)
-                        occ_f = lanesort.lane_unsort(
-                            occ_f, rank_s, block=oblk,
+                        occ_inv = lanesort.lane_unsort(
+                            occ_f[:, :capr], rank_s, block=oblk,
                             interpret=interpret)
+                        occ_f = (occ_inv if capr == nb2 else
+                                 jnp.concatenate(
+                                     [occ_inv, occ_f[:, capr:]], axis=1))
                         if pt_cons:
                             occ_f = pack.scatter_back(
                                 occ_f, plan_p["grank"], block=oblk,

@@ -110,9 +110,9 @@ def _lane_sort_kernel(in_ref, out_ref, kt_ref, *, cp: int, R: int):
     # apply the permutation: one-hot MXU, exact at HIGHEST for f32
     acc = jnp.zeros((1, cp, R), jnp.float32)
     for g in range(G):
-        rt = kt_ref[_sl(g), :]                          # [128,1] fresh
+        rt = kt_ref[_sl(g), :].astype(jnp.int32)        # [128,1] fresh
         p_g = jnp.where(
-            rt == jax.lax.broadcasted_iota(jnp.float32, (LANES, R), 1),
+            rt == jax.lax.broadcasted_iota(jnp.int32, (LANES, R), 1),
             1.0, 0.0)                                   # [128 src, R dst]
         xg = in_ref[0, :, _sl(g)]                       # [cp,128] fresh
         acc = acc + jax.lax.dot_general(
@@ -167,9 +167,9 @@ def _lane_unsort_kernel(rank_ref, res_ref, out_ref, *, ns: int, R: int):
     G = R // LANES
     res = res_ref[0]                                    # [ns, R]
     for g in range(G):
-        rg = rank_ref[0, 0, 0:1, _sl(g)]                # [1,128] fresh
+        rg = rank_ref[0, 0, 0:1, _sl(g)].astype(jnp.int32)  # [1,128] fresh
         m_g = jnp.where(
-            jax.lax.broadcasted_iota(jnp.float32, (R, LANES), 0) == rg,
+            jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) == rg,
             1.0, 0.0)                                   # [R dst, 128 src]
         out_ref[0, :, _sl(g)] = jax.lax.dot_general(
             res, m_g, (((1,), (0,)), ((), ())),
