@@ -79,38 +79,27 @@ def test_resort_secondary_matches_unsorted(scene):
 
 
 def test_group_sort_matches_unsorted(scene):
-    """GROUP (128-lane) granularity resort (cfg.group_sort_shadows /
-    group_sort_closest — wavefront/resort.py group_*): whole lane-groups
-    permute by mean-surface-point cell (shadows) or mean-dir octant +
-    origin cell (reflection closest) via one jnp.take along the Nb axis,
-    outputs inverse-permuted. Shadow masks are exactly
-    permutation-independent (any-hit) → shadow-only frames BIT-identical;
-    frames with reflections allclose (near-tie commits, the resort
-    contract)."""
+    """GROUP (128-lane) granularity resort (cfg.group_sort_shadows —
+    wavefront/resort.py group_*): whole lane-groups permute by
+    mean-surface-point cell via one jnp.take along the Nb axis, masks
+    inverse-permuted. Shadow masks are exactly permutation-independent
+    (any-hit) → frames BIT-identical. (group_sort_closest was pruned in
+    round 5 — measured dead, tools/r4_hw_queue.py.) partition_shadows
+    is pinned off: group-sort is its fallback path."""
     flat, tex, cam = scene
     # pin the unsorted baseline explicitly (group_sort_shadows defaults ON)
     cfg = dataclasses.replace(C.reference_config(), width=W, height=H,
-                              group_sort_shadows=False)
+                              group_sort_shadows=False,
+                              partition_shadows=False)
     args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
             jnp.asarray(C.LIGHT_POSITIONS))
-    cfg_sh = dataclasses.replace(cfg, enable_reflections=False)
     for kind, interp in (("reference", False), ("dense", True)):
         be = make_backend(flat, kind)
-        for base_cfg, exact in ((cfg_sh, True), (cfg, False)):
-            cfg_gs = dataclasses.replace(base_cfg, group_sort_shadows=True,
-                                         group_sort_closest=True)
-            fb0, rc0 = render_frame(be, tex, *args, base_cfg,
-                                    interpret=interp)
-            fb1, rc1 = render_frame(be, tex, *args, cfg_gs,
-                                    interpret=interp)
-            if exact:
-                np.testing.assert_array_equal(np.asarray(fb0),
-                                              np.asarray(fb1))
-            else:
-                np.testing.assert_allclose(np.asarray(fb0),
-                                           np.asarray(fb1), atol=1e-5)
-            np.testing.assert_array_equal(np.asarray(rc0),
-                                          np.asarray(rc1))
+        cfg_gs = dataclasses.replace(cfg, group_sort_shadows=True)
+        fb0, rc0 = render_frame(be, tex, *args, cfg, interpret=interp)
+        fb1, rc1 = render_frame(be, tex, *args, cfg_gs, interpret=interp)
+        np.testing.assert_array_equal(np.asarray(fb0), np.asarray(fb1))
+        np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
 
 
 def test_group_sort_composes_with_consolidation(scene):
@@ -119,8 +108,11 @@ def test_group_sort_composes_with_consolidation(scene):
     inverse-permutes after scatter_back — the composition must stay
     bit-identical on shadow masks."""
     flat, tex, cam = scene
+    # partition_shadows pinned off: it supersedes group-sort at depth>=1
+    # when on, which would make this A/B vacuous
     cfg = dataclasses.replace(C.reference_config(), width=W, height=H,
-                              enable_reflections=True)
+                              enable_reflections=True,
+                              partition_shadows=False)
     args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
             jnp.asarray(C.LIGHT_POSITIONS))
     be = make_backend(flat, "dense")
@@ -134,34 +126,6 @@ def test_group_sort_composes_with_consolidation(scene):
                             group_sort_shadows=True), interpret=True)
     np.testing.assert_array_equal(np.asarray(fb0), np.asarray(fb1))
     np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
-
-
-def test_defer_shadows_bit_exact(scene):
-    """Deferred shadows (cfg.defer_shadows: ONE multi-segment occlusion
-    dispatch for every depth's shadow sets, ns = depths * lights) must be
-    BIT-identical to the per-depth dispatches: occlusion masks are
-    visit-order independent and the engine replays the accumulation in
-    the original op order (wavefront/engine.py). Covers depth 2 (the
-    reference workload, ns=8) and depth 4 (config-5 shading, ns=16) on
-    both backends."""
-    flat, tex, cam = scene
-    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
-            jnp.asarray(C.LIGHT_POSITIONS))
-    cfg2 = dataclasses.replace(C.reference_config(), width=W, height=H)
-    cfg4 = dataclasses.replace(C.config5_stress(), width=W, height=H)
-    for kind, interp in (("reference", False), ("dense", True)):
-        be = make_backend(flat, kind)
-        for cfg in (cfg2, cfg4):
-            fb0, rc0 = render_frame(
-                be, tex, *args,
-                dataclasses.replace(cfg, defer_shadows=False),
-                interpret=interp)
-            fb1, rc1 = render_frame(
-                be, tex, *args,
-                dataclasses.replace(cfg, defer_shadows=True),
-                interpret=interp)
-            np.testing.assert_array_equal(np.asarray(fb0), np.asarray(fb1))
-            np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
 
 
 def test_consolidate_secondary_bit_exact(scene):

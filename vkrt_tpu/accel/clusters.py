@@ -92,7 +92,8 @@ def _argsort(codes):
 
 def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
                    device: bool = True, aabb=None,
-                   method: str = "split", k1: int = K1) -> ClusterTree:
+                   method: str = "split", k1: int = K1,
+                   sah_opts: dict | None = None) -> ClusterTree:
     """Build the cluster tree. `attrs` (optional dict of per-triangle arrays:
     n0..n2 [T,3], uv0..uv2 [T,2], t0..t2 [T,3], mat [T,3]) fills the
     attribute rows when with_attributes=True.
@@ -119,7 +120,11 @@ def build_clusters(v0, e1, e2, attrs=None, with_attributes: bool = False,
         assert k1 == K1, "device rebuild path is fixed at K1=128"
         if method in ("sah", "split"):
             from vkrt_tpu.accel.device_sah import device_sah_order
-            order = device_sah_order(v0, e1, e2)
+            # sah_opts forwards to device_sah_order (max_levels /
+            # stable / nbins / axis_mode) — the per-frame rebuild's
+            # speed-quality point, defaults chosen by the round-5
+            # hardware rows (tools/r5_hw_queue3.py)
+            order = device_sah_order(v0, e1, e2, **(sah_opts or {}))
         else:
             lo = jnp.asarray(aabb[0], jnp.float32)
             hi = jnp.asarray(aabb[1], jnp.float32)

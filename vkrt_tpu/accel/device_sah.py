@@ -45,6 +45,7 @@ import jax.numpy as jnp
 K1 = 128     # triangles per cluster (== clusters.K1)
 K2 = 64      # clusters per supercluster (== clusters.K2)
 NBINS = 16   # axis-choice SAH bins
+_MULTI_CUT_LEVELS = 4   # trailing levels that run cuts>1 rounds per sort
 _INF = 3.0e38
 _CEN_BITS = 18            # quantized centroid bits in the composite key
 
@@ -73,9 +74,11 @@ def _seg_scan_box(flags, bmin, bmax, cnt, reverse=False):
                                     reverse=reverse)[1:]
 
 
-@partial(jax.jit, static_argnames=("max_levels", "axis_mode", "stable"))
+@partial(jax.jit, static_argnames=("max_levels", "axis_mode", "stable",
+                                   "cuts", "nbins"))
 def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
-                      axis_mode: str = "binned", stable: bool = True):
+                      axis_mode: str = "binned", stable: bool = True,
+                      cuts: int = 1, nbins: int = NBINS):
     """Triangle permutation i32[Tp] (padding slots at the tail carry
     their original indices). cen/tmin/tmax f32[Tp,3] indexed by
     ORIGINAL padded triangle id; valid bool[Tp] False on padding.
@@ -95,7 +98,7 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
     measured timing knob (tools/r5_hw_queue2.py).
 
     axis_mode:
-      "binned" — per-segment NBINS-binned SAH axis choice at triangle
+      "binned" — per-segment nbins-binned SAH axis choice at triangle
                  granularity (the expensive, most faithful form).
       "extent" — largest per-segment triangle-centroid extent (the
                  classic builder heuristic). MEASURED WORSE on Sponza:
@@ -129,7 +132,7 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
         [cen, tmin, tmax, w0[:, None], order.astype(jnp.float32)[:, None]],
         axis=1)                                                # [Tp,11]
 
-    def level(state, _, tri_bins=True):
+    def level(state, _, tri_bins=True, n_cuts=1):
         S, cb = state
         cen_s = S[:, 0:3]
         tmin_s = S[:, 3:6]
@@ -170,6 +173,68 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
         if axis_mode == "extent":
             # largest triangle-centroid extent of the segment
             best_ax = jnp.argmax(smax - smin, axis=1)           # [S]
+        elif axis_mode == "slab":
+            # round 5: counts-only binned SAH — bin boxes approximated
+            # by the bin-SLAB extent in the candidate axis (quantized to
+            # the outermost OCCUPIED bins) x the segment's exact extents
+            # in the other two axes. Only per-bin COUNTS are reduced
+            # ([Nc,K1,NB] once per axis vs the exact mode's
+            # [Nc,K1,NB,3] min/max pairs — the ~7 ms/level residual,
+            # tools/r5_hw_queue2.py). Axis choice only; the cut stays
+            # exact post-sort.
+            bid = jnp.arange(nbins, dtype=jnp.int32)
+            tw = w_s.reshape(Nc, K1)
+            bin_t = jnp.clip((cen_o - lo_c[:, None, :])
+                             / span_c[:, None, :]
+                             * nbins, 0.0, nbins - 1.0).astype(jnp.int32)
+            ext = jnp.maximum(smax - smin, 1e-12)               # [S,3]
+            axis_cost = []
+            for ax in range(3):
+                oh = (bin_t[..., ax][..., None] == bid) \
+                    & tvalid[..., None]                     # [Nc,K1,NB]
+                cct = (oh * tw[..., None]).sum(axis=1)      # [Nc,NB]
+                bct = jax.ops.segment_sum(cct, sid_c,
+                                          num_segments=nseg)  # [S,NB]
+                occ = bct > 0
+                pmax = jax.lax.associative_scan(
+                    jnp.maximum, jnp.where(occ, bid[None, :], -1), axis=1)
+                smin_b = jax.lax.associative_scan(
+                    jnp.minimum, jnp.where(occ, bid[None, :], nbins),
+                    axis=1, reverse=True)
+                pct = jnp.cumsum(bct, axis=1)
+                tot = pct[:, -1:]
+                unit = ext[:, ax:ax + 1] / nbins
+                eL = (pmax[:, :-1].astype(jnp.float32) + 1.0) * unit
+                eR = (nbins - smin_b[:, 1:].astype(jnp.float32)) * unit
+                o1 = ext[:, (ax + 1) % 3][:, None]
+                o2 = ext[:, (ax + 2) % 3][:, None]
+                aL = eL * o1 + o1 * o2 + o2 * eL
+                aR = eR * o1 + o1 * o2 + o2 * eR
+                nL = pct[:, :-1]
+                nR = tot - nL
+                cost = jnp.where((nL > 0) & (nR > 0),
+                                 aL * nL + aR * nR, _INF)
+                axis_cost.append(cost.min(axis=1))
+            best_ax = jnp.argmin(jnp.stack(axis_cost, axis=1), axis=1)
+        elif axis_mode == "variance":
+            # round 5: largest weighted CENTROID VARIANCE — a
+            # density-aware SAH proxy at triangle granularity with NO
+            # bin dimension: the binned estimate materializes
+            # [Nc,K1,nbins,3] masked boxes (~7 ms/level, the dominant
+            # residual after the packed carry — tools/r5_hw_queue2.py);
+            # variance needs only chunk-level moment sums. Centered on
+            # the segment min to bound f32 cancellation.
+            cen_rel = jnp.where(tvalid[..., None],
+                                cen_o - lo_c[:, None, :], 0.0)
+            s1 = cen_rel.sum(axis=1)                            # [Nc,3]
+            s2 = (cen_rel * cen_rel).sum(axis=1)
+            seg_s1 = jax.ops.segment_sum(s1, sid_c, num_segments=nseg)
+            seg_s2 = jax.ops.segment_sum(s2, sid_c, num_segments=nseg)
+            seg_n = jnp.maximum(
+                jax.ops.segment_sum(ccnt, sid_c, num_segments=nseg), 1.0)
+            mean = seg_s1 / seg_n[:, None]
+            var = seg_s2 / seg_n[:, None] - mean * mean
+            best_ax = jnp.argmax(var, axis=1)                   # [S]
         elif not tri_bins:
             # CHUNK-granularity binning: after the first few levels the
             # sort has made chunks spatially tight, so binning the [Nc]
@@ -180,12 +245,12 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
             nonempty = ccnt > 0
             ccen = jnp.where(nonempty[:, None], (cmin + cmax) * 0.5,
                              _INF)
-            bin_c = jnp.clip((ccen - lo_c) / span_c * NBINS, 0.0,
-                             NBINS - 1.0).astype(jnp.int32)     # [Nc,3]
+            bin_c = jnp.clip((ccen - lo_c) / span_c * nbins, 0.0,
+                             nbins - 1.0).astype(jnp.int32)     # [Nc,3]
             axis_cost = []
             for ax in range(3):
                 bmns, bmxs, bcts = [], [], []
-                for b in range(NBINS):
+                for b in range(nbins):
                     m = nonempty & (bin_c[:, ax] == b)          # [Nc]
                     cmn_b = jnp.where(m[:, None], cmin, _INF)
                     cmx_b = jnp.where(m[:, None], cmax, -_INF)
@@ -222,7 +287,7 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
             # vs host 9.96 before this fix; mixing granularities across
             # levels is even worse — hybrid:2/4/6 = 65/53/28
             # clusters/ray). Triangle boxes one-hot-reduce into
-            # per-chunk bin tables (NBINS small), then a cheap [Nc]-row
+            # per-chunk bin tables (nbins small), then a cheap [Nc]-row
             # segment reduce. The axis choice is only an ESTIMATE (the
             # cut is exact post-sort), so a strided triangle SAMPLE is
             # enough — `stride` divides the binning cost by S.
@@ -232,14 +297,14 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
             tval_b = tvalid[:, ::stride]
             bin_t = jnp.clip((cen_b - lo_c[:, None, :])
                              / span_c[:, None, :]
-                             * NBINS, 0.0, NBINS - 1.0).astype(jnp.int32)
+                             * nbins, 0.0, nbins - 1.0).astype(jnp.int32)
             tw = w_s.reshape(Nc, K1)[:, ::stride]
             # one-hot over bins: ONE fused masked reduce per axis
-            # (vs NBINS separate passes) and ONE batched segment
-            # reduce for all 3*NBINS tables (vs 144 small scatters —
+            # (vs nbins separate passes) and ONE batched segment
+            # reduce for all 3*nbins tables (vs 144 small scatters —
             # the dominant per-level launch overhead on TPU).
             bmn_ax, bmx_ax, bct_ax = [], [], []
-            bid = jnp.arange(NBINS, dtype=jnp.int32)
+            bid = jnp.arange(nbins, dtype=jnp.int32)
             for ax in range(3):
                 oh = (bin_t[..., ax][..., None] == bid) \
                     & tval_b[..., None]                     # [Nc,K1/S,NB]
@@ -258,7 +323,7 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
             bmx = jax.ops.segment_max(bmx_c, sid_c, num_segments=nseg)
             bct = jnp.cumsum(jax.ops.segment_sum(
                 bct_c, sid_c, num_segments=nseg), axis=2)   # prefix cnt
-            # prefix/suffix over the NBINS axis, all 3 axes at once
+            # prefix/suffix over the nbins axis, all 3 axes at once
             pmn = jax.lax.associative_scan(jnp.minimum, bmn, axis=2)
             pmx = jax.lax.associative_scan(jnp.maximum, bmx, axis=2)
             pct = bct                                        # [S,3,NB]
@@ -280,7 +345,11 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
 
         # --- 2. ONE stable sort by (segment, centroid on chosen axis) ---
         ax_t = jnp.repeat(best_ax[sid_c], K1)                   # [Tp]
-        key_cen = jnp.take_along_axis(cen_s, ax_t[:, None], axis=1)[:, 0]
+        # arithmetic column select — take_along_axis here is a
+        # [Tp]-row gather (~2 ms/level at the measured per-row rate)
+        key_cen = (jnp.where(ax_t == 0, cen_s[:, 0], 0.0)
+                   + jnp.where(ax_t == 1, cen_s[:, 1], 0.0)
+                   + jnp.where(ax_t == 2, cen_s[:, 2], 0.0))
         # quantize within the segment's exact triangle-centroid span
         # (composite u32 key)
         lo_t = jnp.repeat(
@@ -305,40 +374,65 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
         w_n = S_new[:, 9]
 
         # --- 3. exact SAH over the sorted order (chunk granularity) -----
+        # `cuts` rounds per sorted order: round 1 is the host
+        # recursion's cut; further rounds re-run the cheap [Nc]-scan
+        # selection on the refined segmentation, cutting each CHILD
+        # along its parent's sort axis without a re-sort — the round-5
+        # "sort once, cut twice" lever (children re-choose their axis
+        # at the next level's sort as before).
         nmin = tmin_n.reshape(Nc, K1, 3).min(axis=1)
         nmax = tmax_n.reshape(Nc, K1, 3).max(axis=1)
         ncnt = w_n.reshape(Nc, K1).sum(axis=1)
-        pmn, pmx, pct = _seg_scan_box(cb, nmin, nmax, ncnt)
-        # suffix scan: a segment ENDS where the next chunk starts one
-        cb_rev_flags = jnp.concatenate([cb[1:], jnp.ones(1, jnp.bool_)])
-        smn, smx, sct = _seg_scan_box(cb_rev_flags[::-1], nmin[::-1],
-                                      nmax[::-1], ncnt[::-1])
-        smn, smx, sct = smn[::-1], smx[::-1], sct[::-1]
 
-        align = jnp.where(seg_len > K2, K2, 1)
-        costL = _area(jnp.maximum(pmx - pmn, 0.0)) * pct        # at k-1
-        costR = _area(jnp.maximum(smx - smn, 0.0)) * sct        # at k
-        costL_prev = jnp.concatenate([jnp.full((1,), _INF), costL[:-1]])
-        pct_prev = jnp.concatenate([jnp.zeros(1), pct[:-1]])
-        # a valid cut is aligned AND leaves real triangles on BOTH sides
-        # (cutting off an all-padding tail is free but useless)
-        valid_cut = ((off_c > 0) & (off_c % align == 0)
-                     & (pct_prev > 0) & (sct > 0))
-        cut_cost = jnp.where(valid_cut, costL_prev + costR, _INF)
+        def cut_round(cb_r):
+            iota_c = jnp.arange(Nc, dtype=jnp.int32)
+            sid_r = jnp.cumsum(cb_r.astype(jnp.int32)) - 1
+            seg_start_r = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(cb_r, iota_c, 0))
+            off_r = iota_c - seg_start_r
+            nxt = jnp.where(cb_r, iota_c, Nc)
+            nxt = jnp.concatenate([nxt[1:], jnp.array([Nc], jnp.int32)])
+            nxt = jax.lax.associative_scan(jnp.minimum, nxt[::-1])[::-1]
+            seg_len_r = nxt - seg_start_r
+            pmn, pmx, pct = _seg_scan_box(cb_r, nmin, nmax, ncnt)
+            # suffix scan: a segment ENDS where the next chunk starts
+            cb_rev = jnp.concatenate([cb_r[1:], jnp.ones(1, jnp.bool_)])
+            smn, smx, sct = _seg_scan_box(cb_rev[::-1], nmin[::-1],
+                                          nmax[::-1], ncnt[::-1])
+            smn, smx, sct = smn[::-1], smx[::-1], sct[::-1]
 
-        # per-segment argmin over chunk positions
-        best_cost = jax.ops.segment_min(cut_cost, sid_c, num_segments=Nc)
-        is_best = (cut_cost == best_cost[sid_c]) & valid_cut \
-            & (best_cost[sid_c] < _INF)
-        # first position achieving the min (deterministic tie-break)
-        cand_pos = jnp.where(is_best, jnp.arange(Nc, dtype=jnp.int32), Nc)
-        first_best = jax.ops.segment_min(cand_pos, sid_c, num_segments=Nc)
-        # scatter-MAX: unused segment slots all point at Nc-1 with value
-        # 0 and must not clear a genuine bit there
-        bits = jnp.zeros(Nc, jnp.int32).at[
-            jnp.clip(first_best, 0, Nc - 1)].max(
-            (first_best < Nc).astype(jnp.int32))
-        cb_new = cb | (bits > 0)
+            align = jnp.where(seg_len_r > K2, K2, 1)
+            costL = _area(jnp.maximum(pmx - pmn, 0.0)) * pct    # at k-1
+            costR = _area(jnp.maximum(smx - smn, 0.0)) * sct    # at k
+            costL_prev = jnp.concatenate([jnp.full((1,), _INF),
+                                          costL[:-1]])
+            pct_prev = jnp.concatenate([jnp.zeros(1), pct[:-1]])
+            # a valid cut is aligned AND leaves real triangles on BOTH
+            # sides (cutting off an all-padding tail is free but
+            # useless)
+            valid_cut = ((off_r > 0) & (off_r % align == 0)
+                         & (pct_prev > 0) & (sct > 0))
+            cut_cost = jnp.where(valid_cut, costL_prev + costR, _INF)
+
+            # per-segment argmin over chunk positions
+            best_cost = jax.ops.segment_min(cut_cost, sid_r,
+                                            num_segments=Nc)
+            is_best = (cut_cost == best_cost[sid_r]) & valid_cut \
+                & (best_cost[sid_r] < _INF)
+            # first position achieving the min (deterministic tie-break)
+            cand_pos = jnp.where(is_best, iota_c, Nc)
+            first_best = jax.ops.segment_min(cand_pos, sid_r,
+                                             num_segments=Nc)
+            # scatter-MAX: unused segment slots all point at Nc-1 with
+            # value 0 and must not clear a genuine bit there
+            bits = jnp.zeros(Nc, jnp.int32).at[
+                jnp.clip(first_best, 0, Nc - 1)].max(
+                (first_best < Nc).astype(jnp.int32))
+            return cb_r | (bits > 0)
+
+        cb_new = cb
+        for _ in range(n_cuts):
+            cb_new = cut_round(cb_new)
         return (S_new, cb_new), 0
 
     state = (S0, cb)
@@ -351,22 +445,40 @@ def _device_sah_order(cen, tmin, tmax, valid, max_levels: int,
             state, _ = jax.lax.scan(partial(level, tri_bins=False),
                                     state, None,
                                     length=max_levels - n_tri)
+    elif cuts > 1:
+        # mixed schedule: single own-axis cuts while segments are large
+        # (the axis estimate matters most there), `cuts` rounds per sort
+        # for the last `_MULTI_CUT_LEVELS` levels where parent-axis
+        # inheritance is cheap
+        n_single = max(max_levels - _MULTI_CUT_LEVELS, 0)
+        if n_single:
+            state, _ = jax.lax.scan(partial(level, n_cuts=1),
+                                    state, None, length=n_single)
+        if max_levels > n_single:
+            state, _ = jax.lax.scan(partial(level, n_cuts=cuts),
+                                    state, None,
+                                    length=max_levels - n_single)
     else:
         state, _ = jax.lax.scan(level, state, None, length=max_levels)
     return state[0][:, 10].astype(jnp.int32)
 
 
-def device_sah_order(v0, e1, e2, max_levels: int = 20,
-                     axis_mode: str = "binned", stable: bool = True):
+def device_sah_order(v0, e1, e2, max_levels: int = 14,
+                     axis_mode: str = "binned", stable: bool = True,
+                     cuts: int = 1, nbins: int = NBINS):
     """Device variable-cut SAH triangle permutation.
 
     v0/e1/e2 f32[T,3] (device arrays). Returns i32[T] (a permutation of
     0..T-1 — padding slots are stripped). Fully jittable; one lax.sort
-    + segmented scans per level (max_levels static)."""
-    if not re.fullmatch(r"binned|extent|hybrid:\d+|sampled:\d+", axis_mode):
+    + segmented scans per level (max_levels static). `cuts` > 1 applies
+    that many cut rounds per sorted order (children cut along the
+    parent's axis without a re-sort) — the effective tree depth is
+    ~max_levels*cuts at ~max_levels sorts."""
+    if not re.fullmatch(r"binned|extent|variance|slab|hybrid:\d+"
+                        r"|sampled:\d+", axis_mode):
         raise ValueError(
             f"axis_mode {axis_mode!r} invalid: expected 'binned', 'extent', "
-            f"'hybrid:N' or 'sampled:S' (N/S integers)")
+            f"'variance', 'slab', 'hybrid:N' or 'sampled:S' (N/S integers)")
     T = v0.shape[0]
     Tp = -(-T // K1) * K1
     pad = Tp - T
@@ -384,7 +496,7 @@ def device_sah_order(v0, e1, e2, max_levels: int = 20,
     valid = jnp.arange(Tp) < T
 
     order = _device_sah_order(cen, tmin, tmax, valid, max_levels,
-                              axis_mode, stable)
+                              axis_mode, stable, cuts, nbins)
     # strip padding slots, preserving order (stable compaction)
     if pad:
         keep_key = (order >= T).astype(jnp.int32)

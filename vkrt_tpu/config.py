@@ -82,17 +82,19 @@ class RenderConfig:
     # scatter cost class that killed the resort, and over-gated
     # candidates still cost DMA issue slots.
     recheck_secondary: bool = False
-    # Per-(set,group) sweep gating in the multi-segment shadow kernel
-    # (rt/occl_multi.py group_gate). The first hardware measurement
-    # regressed 2x with the masked-iota prepass; the slice-reduce
-    # prepass retest decides this default (tools/r3_hw_queue2.py).
-    shadow_group_gate: bool = False
-    # Per-group btmax gating for the depth-0 closest trace. Depth>=1
-    # always gates (95.3 vs 138.8 ms measured); at coherent depth 0
-    # 95% of clusters gate every group (tools/rowgate_sim.py) but the
-    # per-group btmax still prunes during the sweep as subtiles
-    # converge — hardware row decides (tools/r3_hw_queue2.py).
-    closest_d0_group_gate: bool = False
+    # PRUNED FLAGS (round 5, VERDICT r4 item 8 — measured-dead levers
+    # removed from the config surface; post-mortems in ROADMAP.md, full
+    # machinery in git history at tag round-4 / commit 6c6db9f):
+    #   shadow_group_gate     — per-(set,group) occlusion gating:
+    #                           shadow_d0 147->334 ms even with the
+    #                           slice-reduce prepass (r3_hw_queue2)
+    #   closest_d0_group_gate — depth-0 closest group gate: 62.9->72.2
+    #                           (coherent tiles gate ~95% anyway)
+    #   group_sort_closest    — group resort of reflection closest:
+    #                           94.5->101.8 (r4_hw_queue)
+    #   defer_shadows         — merged all-depth occlusion dispatch:
+    #                           371 vs 343 ms, frame 629 vs 605
+    #                           (r3_hw_queue4)
     # Consolidate depth>=1 shadow wavefronts with the Pallas live-ray
     # pack (wavefront/pack.py): a stable compaction by global live rank
     # moves the ~10% live rays into the leading blocks (one-hot MXU
@@ -114,26 +116,10 @@ class RenderConfig:
     # intra-group depth spread survives any group-level key), packed
     # depth>=1 shadows WIN (149.7 -> 142.3 ms: the group permutation
     # makes the pack's leading blocks draw spatially-similar groups),
-    # reflection closest LOSES (94.5 -> 101.8). So group_sort_shadows
-    # applies at depth>=1 only (default ON, masks bit-identical);
-    # group_sort_closest is the recorded dead end (default OFF).
+    # reflection closest LOSES (94.5 -> 101.8). group_sort_shadows
+    # applies at depth>=1 only (default ON, masks bit-identical) and is
+    # the fallback coherence pass when partition_shadows is off.
     group_sort_shadows: bool = True
-    group_sort_closest: bool = False
-    # Defer ALL depths' shadow segments into ONE multi-segment occlusion
-    # dispatch after the trace rounds (ns = max_depth * num_lights sets
-    # share each surface tile's block): occlusion results never feed ray
-    # propagation — only color — so deferral is exact, and the engine
-    # replays the accumulation in the original op order (frames
-    # BIT-IDENTICAL to per-depth dispatches, CI-pinned). Default OFF:
-    # measured SLOWER on hardware (tools/r3_hw_queue4.py — merged 8-set
-    # dispatch 371 vs 343 ms separate; config-4 frame 629 vs 605;
-    # config-5 1263 vs 1163): the kernel's per-set prepass slab-tests
-    # every gated supercluster for ALL ns sets, so the UNION of two
-    # depths' gated SCs costs more set-tests than two focused
-    # dispatches — the shared launch/bitmask/DMA savings don't cover
-    # it. Falls back to per-depth dispatches when the resort/recheck
-    # machinery is enabled (those permute per depth).
-    defer_shadows: bool = False
     # Two-level per-ray repartition of secondary dispatches
     # (wavefront/lanesort.py, round 5): a Pallas stable in-BLOCK sort of
     # rays by a fine Morton/octant key (one-hot MXU permutes — no

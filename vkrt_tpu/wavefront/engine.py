@@ -309,18 +309,9 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
     lights = lights[:cfg.num_lights]
     origins = jnp.broadcast_to(origin_pt[:, None, None], (3,) + shape)
 
-    # Deferred shadows (cfg.defer_shadows): collect every depth's shadow
-    # segment sets and trace them in ONE multi-segment dispatch after the
-    # rounds — occlusion feeds only COLOR (never ray propagation), so the
-    # accumulation is replayed afterwards in the original op order and
-    # the frame is bit-identical (tests/test_backends.py pins this).
-    # One launch + one supercluster pass + one DMA stream over the
-    # union of gated clusters instead of max_depth of each.
-    defer = (cfg.defer_shadows and cfg.enable_shadows
-             and cfg.num_lights > 0 and cfg.max_depth > 1
-             and not cfg.flat_albedo and not cfg.resort_secondary
-             and not cfg.recheck_secondary and not cfg.partition_shadows)
-    deferred = []
+    # (Deferred all-depth shadows were pruned in round 5: measured
+    # slower — merged dispatch 371 vs 343 ms, frame 629 vs 605,
+    # tools/r3_hw_queue4.py; machinery in git history.)
 
     for _depth in range(cfg.max_depth):
         # named scopes surface as ranges in jax.profiler traces — the
@@ -358,24 +349,9 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                 tm_t = resort.permute_rays(tmax, perm)
             else:
                 o_t, d_t, tm_t = origins, dirs, tmax
-            # GROUP (128-lane) resort (round 4): one jnp.take along the
-            # Nb axis (~16k rows) instead of the ray-granular scatter
-            # that cost ~420 ms — groups keep their internal camera-tile
-            # coherence; the 8 groups sharing a 1024-ray block get
-            # similar mean-direction octants + origin cells.
-            gs_closest = (cfg.group_sort_closest and _depth >= 1
-                          and not rs_closest
-                          and getattr(backend, "scene_aabb", None)
-                          is not None)
-            if gs_closest:
-                gperm = resort.radix_partition_perm(
-                    resort.group_dir_key(d_t, o_t, active,
-                                         backend.scene_aabb),
-                    resort.GROUP_DIR_KEY_BITS)
-                ginv = resort.inverse_permutation(gperm)
-                o_t = resort.permute_groups(o_t, gperm)
-                d_t = resort.permute_groups(d_t, gperm)
-                tm_t = resort.permute_groups(tm_t, gperm)
+            # (group_sort_closest pruned round 5: group resort of the
+            # reflection dispatch measured 94.5 -> 101.8 ms,
+            # tools/r4_hw_queue.py; machinery in git history.)
             # two-level per-ray repartition (round 5, wavefront/
             # lanesort.py): a Pallas stable in-block sort by
             # direction-octant + origin-cell makes every 128-lane group
@@ -384,7 +360,7 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
             # ray-granular coherence the sims wanted (0.51x closest_d1
             # sweeps) without the ~420 ms XLA permutation.
             pt_closest = (cfg.partition_closest and _depth >= 1
-                          and not rs_closest and not gs_closest
+                          and not rs_closest
                           and isinstance(backend, DenseBackend)
                           and getattr(backend, "scene_aabb", None)
                           is not None)
@@ -412,11 +388,12 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
             # depth>=1 dispatches (rt/dense.py pregate="recheck")
             rc = "recheck" if (cfg.recheck_secondary and _depth >= 1) \
                 else False
+            # group_gate at depth>=1 only (95.3 vs 138.8 ms; depth-0
+            # gating pruned round 5 — 62.9 -> 72.2, coherent camera
+            # tiles gate ~95% of clusters for every group anyway)
             t, u, v, attrs, hitm = backend.closest(
                 o_t, d_t, tm_t, interpret=interpret, block=cblk,
-                sort=_depth == 0,
-                group_gate=_depth >= 1 or cfg.closest_d0_group_gate,
-                pregate=rc)
+                sort=_depth == 0, group_gate=_depth >= 1, pregate=rc)
             if rs_closest:
                 t = resort.permute_rays(t, inv)
                 u = resort.permute_rays(u, inv)
@@ -437,12 +414,6 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                 hitm = res[3] > 0.5
                 t = jnp.where(hitm, res[0], jnp.inf)
                 u, v, attrs = res[1], res[2], res[4:]
-            if gs_closest:
-                t = resort.permute_groups(t, ginv)
-                u = resort.permute_groups(u, ginv)
-                v = resort.permute_groups(v, ginv)
-                hitm = resort.permute_groups(hitm, ginv)
-                attrs = resort.permute_groups(attrs, ginv)
         ray_count = ray_count + active.astype(jnp.int32)
         hit = hitm & active
         miss = active & ~hitm
@@ -450,8 +421,7 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
         # miss shader: sky, unattenuated (ref: shader.rmiss:17 — the miss
         # shader overwrites hitValue; rgen adds it as-is)
         sky = jnp.asarray(C.SKY_COLOR)
-        if not defer:
-            accum = accum + jnp.where(miss[None], sky[:, None, None], 0.0)
+        accum = accum + jnp.where(miss[None], sky[:, None, None], 0.0)
 
         pos, normal, uv, tangent, mat_ids = shading.interpolate(attrs, u, v)
         # ONE gather fetches base + metallic-roughness + normal-map quads
@@ -512,208 +482,208 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
             st = jnp.stack(                                # [L,Nb,128]
                 [jnp.where(c, g[1] - C.RAY_TMIN, 0.0)
                  for c, g in zip(casts, geo)])
-            if not defer:
-                with jax.named_scope(f"trace_shadow_d{_depth}"):
-                    # Occlusion keeps no per-hit state, so it runs at the
-                    # larger OCCL_BLOCK (measured -27%).
-                    oblk = _occl_block(nb * L.LANES)
-                    # shadow resort (every depth — shadows are secondary
-                    # rays even at depth 0): one Morton-cell partition of
-                    # the SHARED depth-k surface points re-tiles all NS
-                    # lights' segments with a single permutation (segment
-                    # sets stay row-aligned — the multi-segment kernel is
-                    # preserved). Sim: 0.40x total sweeps at depth 0,
-                    # 0.13-0.25x at depth 1 (tools/dirsort_sim*).
-                    rs_shadow = (cfg.resort_secondary
-                                 and getattr(backend, "scene_aabb", None)
-                                 is not None)
-                    if rs_shadow:
-                        sperm = resort.radix_partition_perm(
-                            resort.cell_key(pos, hit, backend.scene_aabb),
-                            resort.CELL_KEY_BITS)
-                        sinv = resort.inverse_permutation(sperm)
-                        sd = resort.permute_rays(sd, sperm)
-                        st = resort.permute_rays(st, sperm)
-                    # GROUP (128-lane) shadow resort (round 4): sort
-                    # groups by the Morton cell of their mean live
-                    # surface point — the point is SHARED by all NS
-                    # lights' segments, so one group permutation
-                    # re-tiles every set and the multi-segment kernel
-                    # stays intact. ~16k-row jnp.take, not the 420 ms
-                    # ray-granular scatter. Masks are exactly
-                    # permutation-independent (any-hit).
-                    # depth>=1 only: hardware A/B (tools/r4_hw_queue.py)
-                    # — d0 group-sort LOSES (146.1 -> 167.1 ms: camera
-                    # tiles' intra-group depth spread survives any
-                    # group-level key), d1-on-pack WINS (149.7 -> 142.3)
-                    rcs = "recheck" if cfg.recheck_secondary else False
-                    # two-level per-ray repartition (round 5): in-block
-                    # Pallas lane sort by fine surface-point Morton cell
-                    # (the SHARED point keeps all NS light sets
-                    # row-aligned under ONE permutation — the
-                    # multi-segment kernel is preserved), then the group
-                    # radix partition over the now key-pure groups.
-                    # Composes with the depth>=1 pack (packed prefix is
-                    # what gets sorted). Only pos + a cast bitmask move
-                    # (4 channels); sd/st are recomputed bit-identically
-                    # from the moved point. Masks bit-identical.
-                    # depth>=1 only: the round-5 hardware A/B
-                    # (tools/r5_hw_queue.py, /tmp/r5q1b.out) — depth-0
-                    # camera tiles LOSE (146.6 -> 152.4 ms: the ~20 ms
-                    # lane-sort roundtrip exceeds the re-tiling win on
-                    # already-coherent tiles), packed depth-1 WINS
-                    # (142.3 -> 130.1 ms, masks bit-equal).
-                    pt_shadow = (cfg.partition_shadows and _depth >= 1
-                                 and not rs_shadow and not rcs
-                                 and isinstance(backend, DenseBackend)
-                                 and getattr(backend, "scene_aabb", None)
-                                 is not None)
-                    gs_shadow = (cfg.group_sort_shadows and _depth >= 1
-                                 and not rs_shadow and not pt_shadow
-                                 and getattr(backend, "scene_aabb", None)
-                                 is not None)
-                    if gs_shadow:
-                        slive = st[0] > 0
-                        for s in range(1, nl):
-                            slive = slive | (st[s] > 0)
-                        gperm = resort.radix_partition_perm(
-                            resort.group_cell_key(pos, slive,
-                                                  backend.scene_aabb),
-                            resort.GROUP_CELL_KEY_BITS)
-                        ginv_s = resort.inverse_permutation(gperm)
-                        sd = resort.permute_groups(sd, gperm)
-                        st = resort.permute_groups(st, gperm)
-                    # shadows are secondary at every depth: the per-ray
-                    # `tn <= t(ray)` clause the re-check restores prunes
-                    # clusters beyond each segment's own surface (interval
-                    # over-gates shadow cones 2-5x, tools/pregate_sim.py)
-                    # (rcs/pt_shadow resolved above, before gs_shadow)
-                    # depth>=1 live-ray consolidation (wavefront/pack.py):
-                    # ~10% live rays pack into the leading blocks (stable
-                    # rank order keeps them tile-coherent), masks scatter
-                    # back bit-identically. 199.4 -> 151.1 ms measured
-                    # (tools/r3_hw_queue6.py).
-                    # dense backend only: the pack is a Pallas kernel
-                    # (the XLA ReferenceBackend gains nothing from
-                    # occupancy and must stay runnable uninterpreted on
-                    # CPU)
-                    cons = (cfg.consolidate_secondary and _depth >= 1
-                            and not rs_shadow and not rcs
-                            and not pt_shadow
-                            and isinstance(backend, DenseBackend))
-                    if pt_shadow:
-                        castmask = casts[0].astype(jnp.float32)
-                        for s in range(1, nl):
-                            castmask = (castmask
-                                        + casts[s].astype(jnp.float32)
-                                        * float(1 << s))
-                        pt_cons = (cfg.consolidate_secondary
-                                   and _depth >= 1)
-                        if pt_cons:
-                            plan_p = pack.consolidate_plan(castmask > 0,
-                                                           oblk)
-                            pk = pack.consolidate(
-                                [pos[0], pos[1], pos[2], castmask],
-                                plan_p["grank"], plan_p["src_lo"],
-                                plan_p["src_hi"], block=oblk,
-                                interpret=interpret)
-                            pos_k = jnp.stack(pk[:3])
-                            cm_k = pk[3]
-                        else:
-                            pos_k, cm_k = pos, castmask
-                        # the pack left every live ray in the leading
-                        # blocks, so the lane sort only needs the first
-                        # quarter of rows (live fraction ~10% at d1,
-                        # measured) — the tail is identity. Exactness
-                        # is unaffected if live rays ever exceed the
-                        # cap; only their coherence is.
-                        nb2 = cm_k.shape[0]
-                        rpb = oblk // L.LANES
-                        capr = nb2
-                        if pt_cons and nb2 // rpb >= 8:
-                            capr = -(-(nb2 // rpb) // 4) * rpb
-                        lkey = lanesort.cell_key_fine(
-                            pos_k[:, :capr], cm_k[:capr] > 0,
-                            backend.scene_aabb, bits=6)
-                        (p0, p1, p2, cmv), rank_s = lanesort.lane_sort(
-                            [pos_k[0][:capr], pos_k[1][:capr],
-                             pos_k[2][:capr], cm_k[:capr]], lkey,
-                            block=oblk, interpret=interpret)
-                        if capr < nb2:
-                            p0 = jnp.concatenate([p0, pos_k[0][capr:]])
-                            p1 = jnp.concatenate([p1, pos_k[1][capr:]])
-                            p2 = jnp.concatenate([p2, pos_k[2][capr:]])
-                            cmv = jnp.concatenate([cmv, cm_k[capr:]])
-                        pos_p = jnp.stack([p0, p1, p2])
-                        gperm_s = resort.radix_partition_perm(
-                            resort.group_cell_key(pos_p, cmv > 0,
-                                                  backend.scene_aabb),
-                            resort.GROUP_CELL_KEY_BITS)
-                        ginv_ps = resort.inverse_permutation(gperm_s)
-                        pos_p = resort.permute_groups(pos_p, gperm_s)
-                        cmi = resort.permute_groups(
-                            cmv, gperm_s).astype(jnp.int32)
-                        # sd/st recomputed from the moved point —
-                        # light_geometry is elementwise on identical f32
-                        # inputs, so values are bit-identical to
-                        # permuting the precomputed arrays
-                        sd_l, st_l = [], []
-                        for li in range(nl):
-                            ldir, ldist, _ = shading.light_geometry(
-                                pos_p, lights[li])
-                            cast_p = ((cmi >> li) & 1) > 0
-                            sd_l.append(-ldir)
-                            st_l.append(jnp.where(
-                                cast_p, ldist - C.RAY_TMIN, 0.0))
-                        sd = jnp.stack(sd_l)
-                        st = jnp.stack(st_l)
-                    if cons:
-                        live = st[0] > 0
-                        for s in range(1, nl):
-                            live = live | (st[s] > 0)
-                        plan = pack.consolidate_plan(live, oblk)
-                        chans = [sd[s][a] for s in range(nl)
-                                 for a in range(3)] \
-                            + [st[s] for s in range(nl)]
+            with jax.named_scope(f"trace_shadow_d{_depth}"):
+                # Occlusion keeps no per-hit state, so it runs at the
+                # larger OCCL_BLOCK (measured -27%).
+                oblk = _occl_block(nb * L.LANES)
+                # shadow resort (every depth — shadows are secondary
+                # rays even at depth 0): one Morton-cell partition of
+                # the SHARED depth-k surface points re-tiles all NS
+                # lights' segments with a single permutation (segment
+                # sets stay row-aligned — the multi-segment kernel is
+                # preserved). Sim: 0.40x total sweeps at depth 0,
+                # 0.13-0.25x at depth 1 (tools/dirsort_sim*).
+                rs_shadow = (cfg.resort_secondary
+                             and getattr(backend, "scene_aabb", None)
+                             is not None)
+                if rs_shadow:
+                    sperm = resort.radix_partition_perm(
+                        resort.cell_key(pos, hit, backend.scene_aabb),
+                        resort.CELL_KEY_BITS)
+                    sinv = resort.inverse_permutation(sperm)
+                    sd = resort.permute_rays(sd, sperm)
+                    st = resort.permute_rays(st, sperm)
+                # GROUP (128-lane) shadow resort (round 4): sort
+                # groups by the Morton cell of their mean live
+                # surface point — the point is SHARED by all NS
+                # lights' segments, so one group permutation
+                # re-tiles every set and the multi-segment kernel
+                # stays intact. ~16k-row jnp.take, not the 420 ms
+                # ray-granular scatter. Masks are exactly
+                # permutation-independent (any-hit).
+                # depth>=1 only: hardware A/B (tools/r4_hw_queue.py)
+                # — d0 group-sort LOSES (146.1 -> 167.1 ms: camera
+                # tiles' intra-group depth spread survives any
+                # group-level key), d1-on-pack WINS (149.7 -> 142.3)
+                rcs = "recheck" if cfg.recheck_secondary else False
+                # two-level per-ray repartition (round 5): in-block
+                # Pallas lane sort by fine surface-point Morton cell
+                # (the SHARED point keeps all NS light sets
+                # row-aligned under ONE permutation — the
+                # multi-segment kernel is preserved), then the group
+                # radix partition over the now key-pure groups.
+                # Composes with the depth>=1 pack (packed prefix is
+                # what gets sorted). Only pos + a cast bitmask move
+                # (4 channels); sd/st are recomputed bit-identically
+                # from the moved point. Masks bit-identical.
+                # depth>=1 only: the round-5 hardware A/B
+                # (tools/r5_hw_queue.py, /tmp/r5q1b.out) — depth-0
+                # camera tiles LOSE (146.6 -> 152.4 ms: the ~20 ms
+                # lane-sort roundtrip exceeds the re-tiling win on
+                # already-coherent tiles), packed depth-1 WINS
+                # (142.3 -> 130.1 ms, masks bit-equal).
+                pt_shadow = (cfg.partition_shadows and _depth >= 1
+                             and not rs_shadow and not rcs
+                             and isinstance(backend, DenseBackend)
+                             and getattr(backend, "scene_aabb", None)
+                             is not None)
+                gs_shadow = (cfg.group_sort_shadows and _depth >= 1
+                             and not rs_shadow and not pt_shadow
+                             and getattr(backend, "scene_aabb", None)
+                             is not None)
+                if gs_shadow:
+                    slive = st[0] > 0
+                    for s in range(1, nl):
+                        slive = slive | (st[s] > 0)
+                    gperm = resort.radix_partition_perm(
+                        resort.group_cell_key(pos, slive,
+                                              backend.scene_aabb),
+                        resort.GROUP_CELL_KEY_BITS)
+                    ginv_s = resort.inverse_permutation(gperm)
+                    sd = resort.permute_groups(sd, gperm)
+                    st = resort.permute_groups(st, gperm)
+                # shadows are secondary at every depth: the per-ray
+                # `tn <= t(ray)` clause the re-check restores prunes
+                # clusters beyond each segment's own surface (interval
+                # over-gates shadow cones 2-5x, tools/pregate_sim.py)
+                # (rcs/pt_shadow resolved above, before gs_shadow)
+                # depth>=1 live-ray consolidation (wavefront/pack.py):
+                # ~10% live rays pack into the leading blocks (stable
+                # rank order keeps them tile-coherent), masks scatter
+                # back bit-identically. 199.4 -> 151.1 ms measured
+                # (tools/r3_hw_queue6.py).
+                # dense backend only: the pack is a Pallas kernel
+                # (the XLA ReferenceBackend gains nothing from
+                # occupancy and must stay runnable uninterpreted on
+                # CPU)
+                cons = (cfg.consolidate_secondary and _depth >= 1
+                        and not rs_shadow and not rcs
+                        and not pt_shadow
+                        and isinstance(backend, DenseBackend))
+                if pt_shadow:
+                    castmask = casts[0].astype(jnp.float32)
+                    for s in range(1, nl):
+                        castmask = (castmask
+                                    + casts[s].astype(jnp.float32)
+                                    * float(1 << s))
+                    pt_cons = (cfg.consolidate_secondary
+                               and _depth >= 1)
+                    if pt_cons:
+                        plan_p = pack.consolidate_plan(castmask > 0,
+                                                       oblk)
                         pk = pack.consolidate(
-                            chans, plan["grank"], plan["src_lo"],
-                            plan["src_hi"], block=oblk,
+                            [pos[0], pos[1], pos[2], castmask],
+                            plan_p["grank"], plan_p["src_lo"],
+                            plan_p["src_hi"], block=oblk,
                             interpret=interpret)
-                        sd = jnp.stack([jnp.stack(pk[s * 3:s * 3 + 3])
-                                        for s in range(nl)])
-                        st = jnp.stack(pk[3 * nl:])
-                    occ_all = backend.occluded_multi(lights, sd, st,
-                                                     interpret=interpret,
-                                                     block=oblk,
-                                                     sort=_depth == 0
-                                                     and not rcs
-                                                     and not pt_shadow,
-                                                     pregate=rcs,
-                                                     group_gate=
-                                                     cfg.shadow_group_gate)
-                    if cons:
-                        occ_all = pack.scatter_back(
-                            occ_all.astype(jnp.float32), plan["grank"],
-                            block=oblk, interpret=interpret) > 0.5
-                    if pt_shadow:
-                        occ_f = resort.permute_groups(
-                            occ_all.astype(jnp.float32), ginv_ps)
-                        occ_inv = lanesort.lane_unsort(
-                            occ_f[:, :capr], rank_s, block=oblk,
+                        pos_k = jnp.stack(pk[:3])
+                        cm_k = pk[3]
+                    else:
+                        pos_k, cm_k = pos, castmask
+                    # the pack left every live ray in the leading
+                    # blocks, so the lane sort only needs the first
+                    # quarter of rows (live fraction ~10% at d1,
+                    # measured) — the tail is identity. Exactness
+                    # is unaffected if live rays ever exceed the
+                    # cap; only their coherence is.
+                    nb2 = cm_k.shape[0]
+                    rpb = oblk // L.LANES
+                    capr = nb2
+                    if pt_cons and nb2 // rpb >= 8:
+                        capr = -(-(nb2 // rpb) // 4) * rpb
+                    lkey = lanesort.cell_key_fine(
+                        pos_k[:, :capr], cm_k[:capr] > 0,
+                        backend.scene_aabb, bits=6)
+                    (p0, p1, p2, cmv), rank_s = lanesort.lane_sort(
+                        [pos_k[0][:capr], pos_k[1][:capr],
+                         pos_k[2][:capr], cm_k[:capr]], lkey,
+                        block=oblk, interpret=interpret)
+                    if capr < nb2:
+                        p0 = jnp.concatenate([p0, pos_k[0][capr:]])
+                        p1 = jnp.concatenate([p1, pos_k[1][capr:]])
+                        p2 = jnp.concatenate([p2, pos_k[2][capr:]])
+                        cmv = jnp.concatenate([cmv, cm_k[capr:]])
+                    pos_p = jnp.stack([p0, p1, p2])
+                    gperm_s = resort.radix_partition_perm(
+                        resort.group_cell_key(pos_p, cmv > 0,
+                                              backend.scene_aabb),
+                        resort.GROUP_CELL_KEY_BITS)
+                    ginv_ps = resort.inverse_permutation(gperm_s)
+                    pos_p = resort.permute_groups(pos_p, gperm_s)
+                    cmi = resort.permute_groups(
+                        cmv, gperm_s).astype(jnp.int32)
+                    # sd/st recomputed from the moved point —
+                    # light_geometry is elementwise on identical f32
+                    # inputs, so values are bit-identical to
+                    # permuting the precomputed arrays
+                    sd_l, st_l = [], []
+                    for li in range(nl):
+                        ldir, ldist, _ = shading.light_geometry(
+                            pos_p, lights[li])
+                        cast_p = ((cmi >> li) & 1) > 0
+                        sd_l.append(-ldir)
+                        st_l.append(jnp.where(
+                            cast_p, ldist - C.RAY_TMIN, 0.0))
+                    sd = jnp.stack(sd_l)
+                    st = jnp.stack(st_l)
+                if cons:
+                    live = st[0] > 0
+                    for s in range(1, nl):
+                        live = live | (st[s] > 0)
+                    plan = pack.consolidate_plan(live, oblk)
+                    chans = [sd[s][a] for s in range(nl)
+                             for a in range(3)] \
+                        + [st[s] for s in range(nl)]
+                    pk = pack.consolidate(
+                        chans, plan["grank"], plan["src_lo"],
+                        plan["src_hi"], block=oblk,
+                        interpret=interpret)
+                    sd = jnp.stack([jnp.stack(pk[s * 3:s * 3 + 3])
+                                    for s in range(nl)])
+                    st = jnp.stack(pk[3 * nl:])
+                # (shadow_group_gate pruned round 5: per-(set,group)
+                # occlusion gating measured 147->334 ms even with the
+                # slice-reduce prepass — tools/r3_hw_queue2.py)
+                occ_all = backend.occluded_multi(lights, sd, st,
+                                                 interpret=interpret,
+                                                 block=oblk,
+                                                 sort=_depth == 0
+                                                 and not rcs
+                                                 and not pt_shadow,
+                                                 pregate=rcs)
+                if cons:
+                    occ_all = pack.scatter_back(
+                        occ_all.astype(jnp.float32), plan["grank"],
+                        block=oblk, interpret=interpret) > 0.5
+                if pt_shadow:
+                    occ_f = resort.permute_groups(
+                        occ_all.astype(jnp.float32), ginv_ps)
+                    occ_inv = lanesort.lane_unsort(
+                        occ_f[:, :capr], rank_s, block=oblk,
+                        interpret=interpret)
+                    occ_f = (occ_inv if capr == nb2 else
+                             jnp.concatenate(
+                                 [occ_inv, occ_f[:, capr:]], axis=1))
+                    if pt_cons:
+                        occ_f = pack.scatter_back(
+                            occ_f, plan_p["grank"], block=oblk,
                             interpret=interpret)
-                        occ_f = (occ_inv if capr == nb2 else
-                                 jnp.concatenate(
-                                     [occ_inv, occ_f[:, capr:]], axis=1))
-                        if pt_cons:
-                            occ_f = pack.scatter_back(
-                                occ_f, plan_p["grank"], block=oblk,
-                                interpret=interpret)
-                        occ_all = occ_f > 0.5
-                    if gs_shadow:
-                        occ_all = resort.permute_groups(occ_all, ginv_s)
-                    if rs_shadow:
-                        occ_all = resort.permute_rays(occ_all, sinv)
-                occs = list(occ_all)
+                    occ_all = occ_f > 0.5
+                if gs_shadow:
+                    occ_all = resort.permute_groups(occ_all, ginv_s)
+                if rs_shadow:
+                    occ_all = resort.permute_rays(occ_all, sinv)
+            occs = list(occ_all)
             for c in casts:
                 ray_count = ray_count + c.astype(jnp.int32)
 
@@ -727,70 +697,27 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
             reflective = jnp.zeros_like(hit)
             att_updated = attenuation
 
-        if defer:
-            # Deferred-accumulation record: everything the replay below
-            # needs to reproduce this depth's accumulation ops (and their
-            # order) EXACTLY once the merged occlusion masks exist.
-            deferred.append(dict(sd=sd, st=st, miss=miss, hit=hit,
-                                 base=base, ndotls=ndotls,
-                                 powers=[g[2] for g in geo], casts=casts,
-                                 att=attenuation, att_updated=att_updated,
-                                 reflective=reflective))
-        else:
-            for li in range(nl):
-                diffuse = jnp.clip(ndotls[li], 0.0, 1.0)
-                mult = jnp.ones(shape, jnp.float32)
-                if cfg.enable_shadows:
-                    cast = hit & (ndotls[li] > 0)
-                    mult = jnp.where(cast & occs[li], C.SHADOW_MULTIPLIER,
-                                     1.0)
-                total_light = total_light + diffuse * geo[li][2] * mult
+        for li in range(nl):
+            diffuse = jnp.clip(ndotls[li], 0.0, 1.0)
+            mult = jnp.ones(shape, jnp.float32)
+            if cfg.enable_shadows:
+                cast = hit & (ndotls[li] > 0)
+                mult = jnp.where(cast & occs[li], C.SHADOW_MULTIPLIER,
+                                 1.0)
+            total_light = total_light + diffuse * geo[li][2] * mult
 
-            hit_value = (base * (total_light * attenuation)[None]
-                         + base * C.AMBIENT)
-            if cfg.enable_reflections:
-                hit_value = jnp.where(reflective[None],
-                                      hit_value * (1.0 - att_updated)[None],
-                                      hit_value)
-            accum = accum + jnp.where(hit[None], hit_value, 0.0)
+        hit_value = (base * (total_light * attenuation)[None]
+                     + base * C.AMBIENT)
+        if cfg.enable_reflections:
+            hit_value = jnp.where(reflective[None],
+                                  hit_value * (1.0 - att_updated)[None],
+                                  hit_value)
+        accum = accum + jnp.where(hit[None], hit_value, 0.0)
 
         attenuation = att_updated
         origins = L.where3(reflective, pos, origins)
         dirs = L.where3(reflective, shading.reflect(dirs, pn), dirs)
         active = reflective
-
-    if defer and deferred:
-        # ONE multi-segment occlusion dispatch over every depth's shadow
-        # sets (ns = depths * lights): shared supercluster pass, shared
-        # work lists, each cluster slab DMA'd once for all sets that gate
-        # it; sweeps stay per-set (skipped via the per-entry set bits).
-        with jax.named_scope("trace_shadow_deferred"):
-            nd = len(deferred)
-            oblk = _occl_block(nb * L.LANES)
-            occ_all = backend.occluded_multi(
-                jnp.concatenate([lights] * nd, axis=0),
-                jnp.concatenate([r["sd"] for r in deferred], axis=0),
-                jnp.concatenate([r["st"] for r in deferred], axis=0),
-                interpret=interpret, block=oblk, sort=True)
-        sky = jnp.asarray(C.SKY_COLOR)
-        for d, rec in enumerate(deferred):
-            # replay this depth's accumulation in the exact op order of
-            # the inline path — the frame is bit-identical (CI-pinned)
-            accum = accum + jnp.where(rec["miss"][None],
-                                      sky[:, None, None], 0.0)
-            total_light = jnp.zeros(shape, jnp.float32)
-            for li in range(nl):
-                diffuse = jnp.clip(rec["ndotls"][li], 0.0, 1.0)
-                mult = jnp.where(rec["casts"][li] & occ_all[d * nl + li],
-                                 C.SHADOW_MULTIPLIER, 1.0)
-                total_light = total_light + diffuse * rec["powers"][li] * mult
-            hit_value = (rec["base"] * (total_light * rec["att"])[None]
-                         + rec["base"] * C.AMBIENT)
-            if cfg.enable_reflections:
-                hit_value = jnp.where(
-                    rec["reflective"][None],
-                    hit_value * (1.0 - rec["att_updated"])[None], hit_value)
-            accum = accum + jnp.where(rec["hit"][None], hit_value, 0.0)
 
     return accum, ray_count
 
@@ -839,10 +766,11 @@ class Renderer:
     def __init__(self, model_path: str, cfg: C.RenderConfig,
                  backend: str = "dense", max_texture_dim: int = 0,
                  interpret: bool = False, rebuild: str = "refit",
-                 quantize: bool = False):
+                 quantize: bool = False, sah_opts: dict | None = None):
         self.cfg = cfg
         self.interpret = interpret
         self.rebuild = rebuild      # "refit" | "full" (device SAH) | "full_morton"
+        self.sah_opts = sah_opts    # device_sah_order overrides (rebuild="full")
         self.quantize = quantize    # u8 fb + scalar rays on device (prod path)
         self.flat, self.tex, self.backend = cached_backend(
             model_path, max_texture_dim, backend)
@@ -913,7 +841,8 @@ class Renderer:
         aabb = (corners.min(axis=0), corners.max(axis=0))
         method = "morton" if self.rebuild == "full_morton" else "sah"
         return build_clusters(v0, e1, e2, attrs=attrs, with_attributes=True,
-                              device=True, aabb=aabb, method=method)
+                              device=True, aabb=aabb, method=method,
+                              sah_opts=self.sah_opts)
 
 
 @jax.jit
