@@ -269,3 +269,23 @@ def test_partition_shadows_capped_prefix_bit_exact(scene):
         dataclasses.replace(cfg, partition_shadows=True), interpret=True)
     np.testing.assert_array_equal(np.asarray(fb0), np.asarray(fb1))
     np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
+
+
+def test_partition_closest_deep_carry(scene):
+    """Sorted-depth pipeline at max_depth=4 (config-5 shading shape):
+    the reflection carry (origins/dirs/attenuation/active) returns
+    through the per-depth inverse when more depths remain — frames
+    allclose, ray counts equal."""
+    flat, tex, cam = scene
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+    cfg = dataclasses.replace(C.config5_stress(), width=W, height=H)
+    be = make_backend(flat, "dense")
+    fb0, rc0 = render_frame(be, tex, *args, cfg, interpret=True)
+    fb1, rc1 = render_frame(
+        be, tex, *args,
+        dataclasses.replace(cfg, partition_closest=True), interpret=True)
+    fb0, fb1 = np.asarray(fb0), np.asarray(fb1)
+    assert np.isfinite(fb1).all()
+    np.testing.assert_allclose(fb0, fb1, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))

@@ -137,10 +137,17 @@ class RenderConfig:
     # 26.6 ms; depth-1 shadows WIN 142.3 -> 130.1 ms e2e (masks
     # bit-equal) — default ON, applied at depth>=1 only (depth-0 camera
     # tiles LOSE 146.6 -> 152.4: the lane-sort roundtrip exceeds the
-    # re-tiling win on already-coherent tiles). partition_closest is
-    # the recorded dead end (95.0 -> 110.2 ms: the 40-channel output
-    # inverse costs more than the cone win; results bit-equal on all
-    # 314k live rays) — default OFF.
+    # re-tiling win on already-coherent tiles).
+    # partition_closest = the SORTED-DEPTH pipeline: the whole depth>=1
+    # iteration (closest trace + shading + sampling + shadow dispatch +
+    # accumulation) runs in the repartitioned order; only the per-depth
+    # contributions (+ the reflection carry on deeper configs) return
+    # through one small inverse pass. Variant 1 (inverse-permute all 40
+    # closest outputs per dispatch) measured 110.2 vs 95.0 ms even
+    # though the re-tiled dispatch itself ran ~0.56x — the sorted-depth
+    # form keeps the dispatch win and shrinks the inverse to 4
+    # channels; default pending the round-5 hardware row
+    # (tools/r5_hw_queue4.py).
     partition_shadows: bool = True
     partition_closest: bool = False
 

@@ -365,22 +365,41 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                           and getattr(backend, "scene_aabb", None)
                           is not None)
             if pt_closest:
+                # SORTED-DEPTH pipeline (round 5b): the whole depth>=1
+                # iteration — closest trace, shading, sampling, shadow
+                # dispatch, accumulation — runs in the repartitioned
+                # order; only the per-depth CONTRIBUTIONS (+ the
+                # reflection carry when more depths remain) return
+                # through one small inverse pass at the iteration's
+                # end. The first variant inverse-permuted all 40
+                # closest outputs and LOST (110.2 vs 95.0 ms) even
+                # though the re-tiled dispatch itself ran at ~0.56x —
+                # tools/r5_hw_queue.py. Attenuation rides the sort as
+                # where(active, att, 0): active attenuation is always
+                # > 0 (products of 0.5*metallic, metallic > 0.1), so
+                # one combo channel encodes liveness AND the value
+                # (7 payload + key = 8 sublanes, no pad).
+                combo = jnp.where(active, attenuation, 0.0)
                 lkey = lanesort.dir_cell_key_fine(
                     d_t, o_t, tm_t > 0, backend.scene_aabb, bits=5)
                 (c0, c1, c2, c3, c4, c5, c6), rank_c = lanesort.lane_sort(
                     [o_t[0], o_t[1], o_t[2], d_t[0], d_t[1], d_t[2],
-                     tm_t], lkey, block=cblk, interpret=interpret)
+                     combo], lkey, block=cblk, interpret=interpret)
                 o_t = jnp.stack([c0, c1, c2])
                 d_t = jnp.stack([c3, c4, c5])
-                tm_t = c6
                 gperm_c = resort.radix_partition_perm(
-                    resort.group_dir_key(d_t, o_t, tm_t > 0,
+                    resort.group_dir_key(d_t, o_t, c6 > 0,
                                          backend.scene_aabb),
                     resort.GROUP_DIR_KEY_BITS)
                 ginv_c = resort.inverse_permutation(gperm_c)
                 o_t = resort.permute_groups(o_t, gperm_c)
                 d_t = resort.permute_groups(d_t, gperm_c)
-                tm_t = resort.permute_groups(tm_t, gperm_c)
+                combo = resort.permute_groups(c6, gperm_c)
+                # the iteration now lives in sorted space
+                attenuation = combo
+                active = combo > 0
+                tm_t = jnp.where(active, C.RAY_TMAX, 0.0)
+                origins, dirs = o_t, d_t
             # two-level pregate (cfg.recheck_secondary): the interval
             # prologue nominates candidate clusters and the kernel
             # re-tests each per-ray at DMA-issue time — replaces the
@@ -400,28 +419,18 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                 v = resort.permute_rays(v, inv)
                 hitm = resort.permute_rays(hitm, inv)
                 attrs = resort.permute_rays(attrs, inv)
-            if pt_closest:
-                # one inverse pass over all 40 channels; t's inf miss
-                # sentinel would NaN through the one-hot matmul (inf*0),
-                # so it travels sanitized and is restored afterwards
-                t_fin = jnp.where(hitm, t, 0.0)
-                res = jnp.concatenate(
-                    [jnp.stack([t_fin, u, v,
-                                hitm.astype(jnp.float32)]), attrs])
-                res = resort.permute_groups(res, ginv_c)
-                res = lanesort.lane_unsort(res, rank_c, block=cblk,
-                                           interpret=interpret)
-                hitm = res[3] > 0.5
-                t = jnp.where(hitm, res[0], jnp.inf)
-                u, v, attrs = res[1], res[2], res[4:]
-        ray_count = ray_count + active.astype(jnp.int32)
+        # per-depth contribution accumulators: in sorted mode they are
+        # inverse-permuted once at the iteration's end; otherwise they
+        # fold straight into accum/ray_count
+        dacc = jnp.zeros_like(accum)
+        dcount = active.astype(jnp.float32)
         hit = hitm & active
         miss = active & ~hitm
 
         # miss shader: sky, unattenuated (ref: shader.rmiss:17 — the miss
         # shader overwrites hitValue; rgen adds it as-is)
         sky = jnp.asarray(C.SKY_COLOR)
-        accum = accum + jnp.where(miss[None], sky[:, None, None], 0.0)
+        dacc = dacc + jnp.where(miss[None], sky[:, None, None], 0.0)
 
         pos, normal, uv, tangent, mat_ids = shading.interpolate(attrs, u, v)
         # ONE gather fetches base + metallic-roughness + normal-map quads
@@ -452,7 +461,10 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
         base = base4[:3]
 
         if cfg.flat_albedo:
-            accum = accum + jnp.where(hit[None], base, 0.0)
+            # depth-0 only in practice (config 1) — apply inline since
+            # the break skips the end-of-iteration fold
+            accum = accum + dacc + jnp.where(hit[None], base, 0.0)
+            ray_count = ray_count + dcount.astype(jnp.int32)
             active = jnp.zeros_like(active)
             break
 
@@ -685,7 +697,7 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                     occ_all = resort.permute_rays(occ_all, sinv)
             occs = list(occ_all)
             for c in casts:
-                ray_count = ray_count + c.astype(jnp.int32)
+                dcount = dcount + c.astype(jnp.float32)
 
         if cfg.enable_reflections:
             reflective = hit & (metallic > C.METALLIC_THRESHOLD)
@@ -712,12 +724,39 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
             hit_value = jnp.where(reflective[None],
                                   hit_value * (1.0 - att_updated)[None],
                                   hit_value)
-        accum = accum + jnp.where(hit[None], hit_value, 0.0)
+        dacc = dacc + jnp.where(hit[None], hit_value, 0.0)
 
         attenuation = att_updated
         origins = L.where3(reflective, pos, origins)
         dirs = L.where3(reflective, shading.reflect(dirs, pn), dirs)
         active = reflective
+
+        if pt_closest:
+            # ONE small inverse pass returns the depth's contributions
+            # (and the reflection carry only when more depths remain)
+            # to the original ray order — 4 channels at the last depth
+            # vs the 40-channel output inverse that killed variant 1
+            more = _depth + 1 < cfg.max_depth
+            chans = [dacc[0], dacc[1], dacc[2], dcount]
+            if more:
+                chans += [origins[0], origins[1], origins[2],
+                          dirs[0], dirs[1], dirs[2],
+                          jnp.where(active, attenuation, 0.0),
+                          active.astype(jnp.float32)]
+            stk = jnp.stack(chans)
+            stk = resort.permute_groups(stk, ginv_c)
+            stk = lanesort.lane_unsort(stk, rank_c, block=cblk,
+                                       interpret=interpret)
+            accum = accum + stk[:3]
+            ray_count = ray_count + stk[3].astype(jnp.int32)
+            if more:
+                origins = stk[4:7]
+                dirs = stk[7:10]
+                attenuation = stk[10]
+                active = stk[11] > 0.5
+        else:
+            accum = accum + dacc
+            ray_count = ray_count + dcount.astype(jnp.int32)
 
     return accum, ray_count
 
