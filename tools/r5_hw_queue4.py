@@ -90,6 +90,23 @@ def main():
                               "ok": bool(d <= 1e-5 and a[1] == b[1])}),
                   flush=True)
 
+    # sampling row-count bound (queue-3 retry: the heap must be an
+    # ARGUMENT — closing over it made it a jit constant and the 419MB
+    # remote-compile payload hit the relay's 413 limit). The
+    # quad-dedupe ceiling is 0.82N issued rows (24% quad uniformity,
+    # ROADMAP); gather cost is per-row, so this bounds the win.
+    rows = tex.texels_tri.shape[0]
+    n = 1920 * 1088
+    rng = np.random.default_rng(1)
+    idx_full = jnp.asarray(rng.integers(0, rows, n).astype(np.int32))
+    idx_82 = idx_full[: int(n * 0.82) // 128 * 128]
+
+    def g(heap, ix):
+        return jnp.sum(heap[ix].astype(jnp.uint32))
+    gj = jax.jit(g)
+    tmr("sample_gather_rows_N", gj, tex.texels_tri, idx_full)
+    tmr("sample_gather_rows_082N", gj, tex.texels_tri, idx_82)
+
     from r5_hw_queue import golden_smoke
     golden_smoke()
 
