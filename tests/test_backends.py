@@ -289,3 +289,24 @@ def test_partition_closest_deep_carry(scene):
     assert np.isfinite(fb1).all()
     np.testing.assert_allclose(fb0, fb1, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
+
+
+def test_sub_gate_bit_exact(scene):
+    """cfg.sub_gate_shadows / sub_gate_closest (in-sweep sub-cluster
+    hierarchy): the kernels slab-test the 8 per-cluster 16-tri sub-run
+    AABBs annotated into tri_data's pad columns at build and run only
+    the hitting sub-sweeps. Pure work-skipping — sub-runs visit in
+    ascending sublane order with strict-< commits, so hit selection,
+    tie-breaks and any-hit masks are bit-identical to the full sweep."""
+    flat, tex, cam = scene
+    args = (jnp.asarray(cam.proj_inverse), jnp.asarray(cam.view_inverse),
+            jnp.asarray(C.LIGHT_POSITIONS))
+    cfg = dataclasses.replace(C.reference_config(), width=W, height=H)
+    be = make_backend(flat, "dense")
+    fb0, rc0 = render_frame(be, tex, *args, cfg, interpret=True)
+    fb1, rc1 = render_frame(
+        be, tex, *args,
+        dataclasses.replace(cfg, sub_gate_shadows=True,
+                            sub_gate_closest=True), interpret=True)
+    np.testing.assert_array_equal(np.asarray(fb0), np.asarray(fb1))
+    np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))

@@ -63,3 +63,30 @@ def test_scaled_refit_boxes_scale(rng):
     sb1 = np.asarray(scaled.sc_boxes)
     real = sb0[0] < 1e37
     np.testing.assert_allclose(sb1[0][real], 2 * sb0[0][real], rtol=1e-5)
+
+
+def test_refit_recomputes_sub_gate_boxes(rng):
+    """The 16-tri sub-run AABBs riding tri_data's pad columns
+    (accel/clusters._assemble) must follow a refit transform — stale
+    boxes would silently skip sub-sweeps (missed hits) under
+    cfg.sub_gate_*. Trace with sub_gate on/off on a refit tree: any
+    staleness shows up as a mask difference."""
+    v0, e1, e2 = make(rng)
+    tree = build_clusters(jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+                          device=False)
+    m = jnp.asarray(np.array([[0.8, 0, 0, 1.5], [0, 0.8, 0, -2.0],
+                              [0, 0, 0.8, 0.5], [0, 0, 0, 1.0]],
+                             np.float32))
+    moved = refit_clusters(tree, m)
+    n = 512
+    o = rng.uniform(-8, -7, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tm = np.full(n, 60.0, np.float32)
+    a = trace_dense(moved, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm),
+                    block=128, interpret=True)
+    b = trace_dense(moved, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm),
+                    block=128, interpret=True, sub_gate=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert int((np.asarray(a[1]) >= 0).sum()) > 0

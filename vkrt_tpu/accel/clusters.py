@@ -28,6 +28,7 @@ Build is fully jittable. Geometry columns in `tri_data` (f32[C1, 128, ROWS]
  24-26  t0.xyz      27-29 t1.xyz       30-32 t2.xyz      (vertex tangents)
  33     base-color image id            34 metallic-roughness image id
  35     normal image id                36-39 pad (lane alignment)
+ 40-45  (sublanes 0-7 only) 16-tri sub-run AABB min/max.xyz (sub_gate)
 Attribute columns let the trace kernel select shading inputs with one MXU
 matmul instead of post-trace gathers (gathers are the enemy, above).
 """
@@ -44,6 +45,8 @@ from vkrt_tpu.accel.lbvh import morton30
 
 K1 = 128   # triangles per cluster (== VPU lane width)
 K2 = 64    # clusters per supercluster
+SUBRUNS = 8   # 16-tri sub-run AABBs per cluster (sub_gate; cols 40:46)
+SUB_COL = 40  # first tri_data column holding the sub-run boxes
 ROWS = 128  # attribute columns: 36 attr + pad to the HBM lane tile (DMA
             # slices must be 128-aligned on the lane dim; XLA pads the
             # buffer to 128 lanes regardless, so this costs no extra HBM)
@@ -207,6 +210,16 @@ def _assemble(v0, e1, e2, order, attrs=None, with_attributes: bool = False) -> C
         tri_data = jnp.concatenate(
             [tri_data, jnp.zeros((C1, K1, ROWS - tri_data.shape[2]),
                                  jnp.float32)], axis=2)
+    # 16-tri sub-run AABBs ride the free pad columns (SUB_COL..SUB_COL+5)
+    # of the first SUBRUNS sublanes — zero extra DMA; the trace kernels'
+    # optional sub_gate (rt/dense.py / rt/occl_multi.py) slab-tests them
+    # to skip 16-tri sub-sweeps inside a gated cluster. Empty runs get
+    # inverted boxes, which the slab test treats as (harmless) always-hit
+    # on zeroed triangle rows (det=0, no commits).
+    rmin = lmin.reshape(C1, SUBRUNS, K1 // SUBRUNS, 3).min(axis=2)
+    rmax = lmax.reshape(C1, SUBRUNS, K1 // SUBRUNS, 3).max(axis=2)
+    tri_data = tri_data.at[:, 0:SUBRUNS, SUB_COL:SUB_COL + 3].set(rmin)
+    tri_data = tri_data.at[:, 0:SUBRUNS, SUB_COL + 3:SUB_COL + 6].set(rmax)
     tri_data = _pad_rows(tri_data, C1p)
 
     return ClusterTree(sc_boxes=sc_boxes, cl_boxes=cl_boxes,
@@ -372,6 +385,11 @@ def _assemble_host(v0, e1, e2, order, attrs=None,
         tri_data = np.concatenate(
             [tri_data, np.zeros((C1, K1, ROWS - tri_data.shape[2]),
                                 np.float32)], axis=2)
+    # sub_gate run boxes (see _assemble)
+    rmin = lmin.reshape(C1, SUBRUNS, K1 // SUBRUNS, 3).min(axis=2)
+    rmax = lmax.reshape(C1, SUBRUNS, K1 // SUBRUNS, 3).max(axis=2)
+    tri_data[:, 0:SUBRUNS, SUB_COL:SUB_COL + 3] = rmin
+    tri_data[:, 0:SUBRUNS, SUB_COL + 3:SUB_COL + 6] = rmax
     tri_data = pad(tri_data, C1p)
 
     return ClusterTree(sc_boxes=jnp.asarray(sc_boxes),

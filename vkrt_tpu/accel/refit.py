@@ -19,7 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from vkrt_tpu.accel.clusters import K1, K2, ROWS, ClusterTree
+from vkrt_tpu.accel.clusters import (K1, K2, ROWS, SUBRUNS, SUB_COL,
+                                     ClusterTree)
 from vkrt_tpu.utils import layout as L
 
 _INF = 3.0e38
@@ -98,6 +99,12 @@ def refit_clusters(tree: ClusterTree, matrix: jnp.ndarray) -> ClusterTree:
         td = jnp.concatenate(
             [td, jnp.zeros((c1p, K1, ROWS - td.shape[2]), jnp.float32)],
             axis=2)
+    # sub_gate run boxes (see clusters._assemble) must follow the
+    # transform — recompute from the already-refit leaf AABBs
+    rmin = lmin.reshape(c1p, SUBRUNS, K1 // SUBRUNS, 3).min(axis=2)
+    rmax = lmax.reshape(c1p, SUBRUNS, K1 // SUBRUNS, 3).max(axis=2)
+    td = td.at[:, 0:SUBRUNS, SUB_COL:SUB_COL + 3].set(rmin)
+    td = td.at[:, 0:SUBRUNS, SUB_COL + 3:SUB_COL + 6].set(rmax)
 
     return ClusterTree(sc_boxes=sc_boxes, cl_boxes=cl_boxes,
                        tri_data=td, leaf_tri=tree.leaf_tri)

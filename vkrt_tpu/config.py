@@ -146,10 +146,29 @@ class RenderConfig:
     # closest outputs per dispatch) measured 110.2 vs 95.0 ms even
     # though the re-tiled dispatch itself ran ~0.56x — the sorted-depth
     # form keeps the dispatch win and shrinks the inverse to 4
-    # channels; default pending the round-5 hardware row
-    # (tools/r5_hw_queue4.py).
+    # channels. Hardware rows (tools/r5_hw_queue4.py, /tmp/r5q4.out):
+    # cfg4 540.6 vs 542.2 (wash, within noise), cfg5 776.9 vs 768.1
+    # (LOSES ~1% — the 12-channel carry inverse at depths 1-3 eats the
+    # dispatch win). Frames bit-equal both configs. Default OFF.
     partition_shadows: bool = True
     partition_closest: bool = False
+    # In-sweep sub-cluster hierarchy (round 5, VERDICT r4 item 5): the
+    # trace kernels slab-test 8 per-cluster 16-tri sub-run AABBs (built
+    # into tri_data's pad columns — accel/clusters._assemble) and run
+    # only the hitting 16-tri sub-sweeps. Targets the ~45% of swept
+    # (cluster,ray) pairs whose per-ray gate is off (block-union
+    # over-gate; tools/subgroup_sim.py hit fractions 0.69-0.88).
+    # Outputs bit-identical (CI: test_backends/test_refit). MEASURED
+    # DEAD on hardware (tools/r5_hw_queue5.py, /tmp/r5q5.out): the 8
+    # pl.when regions' branch + commit fragmentation costs more than the
+    # 12-31% of sweep math they skip — closest_d0 63.2 -> 66.4 ms,
+    # shadow_d0 142.4 -> 155.4, cfg4 frame 541.8 -> 566.9 (shadows) /
+    # 675.3 (closest: the fragmented MXU attr-commit is the extra hit) /
+    # 700.9 (both); cfg5 767.7 -> 1028.0. Same death class as the
+    # group-gate sweeps skips. Both default OFF; keep for scenes with
+    # far lower sub-box hit fractions than Sponza's camera/light cones.
+    sub_gate_shadows: bool = False
+    sub_gate_closest: bool = False
 
     @property
     def resolution(self) -> Tuple[int, int]:

@@ -56,7 +56,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vkrt_tpu.accel.clusters import K1, K2, ROWS, ClusterTree
+from vkrt_tpu.accel.clusters import (K1, K2, ROWS, SUBRUNS, SUB_COL,
+                                     ClusterTree)
 
 TMIN = 0.001          # ref: shaders/shader.rgen:59
 _INF = 3.0e38
@@ -245,7 +246,8 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                   *, n_sc: int, occlusion: bool, with_attributes: bool,
                   stats: bool, point_origin: bool, approx_recip: bool,
                   sort: bool = True, group_gate: bool = False,
-                  pregate: str = "", ablate: str = ""):
+                  pregate: str = "", ablate: str = "",
+                  sub_gate: bool = False):
     recheck = pregate == "recheck"
     R = d_ref.shape[-1]           # rays per block, on lanes
     NBUF = sem.shape[0]           # per-cluster DMA pipeline depth
@@ -304,7 +306,7 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         entry = jnp.min(jnp.where(hit, tn, _INF), axis=1, keepdims=True)
         return jnp.any(hit, axis=1, keepdims=True), entry, hit
 
-    def tri_block(slot, base_slot, g=None):
+    def tri_block(slot, base_slot, g=None, run=None):
         """Möller–Trumbore: R rays (lanes) against the 128 tris
         (sublanes) of pipeline buffer `slot`; base_slot = global cluster
         id. All products are [K1, R]. With group_gate, g selects ONE
@@ -313,9 +315,19 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         mix converged rows with live rows whose directions span a wide
         cone, so ~half the whole-block sweep lanes never gate the
         cluster (tools/rowgate_sim.py: gating-row/row ratio 0.51-0.64
-        at depth 1 vs 0.95 at coherent depth 0)."""
+        at depth 1 vs 0.95 at coherent depth 0).
+
+        With sub_gate, `run` (static) selects ONE 16-tri sub-run: the
+        sweep shrinks to the [16, Rg] sublane slice; commits offset the
+        selected tri index by run*16 — tie-breaks match the full sweep
+        (runs visit in ascending sublane order, commits are strict <)."""
         sl = slice(None) if g is None else slice(g * LANES, (g + 1) * LANES)
         Rg = R if g is None else LANES
+        rsub = K1 // SUBRUNS
+        rs = slice(None) if run is None else slice(run * rsub,
+                                                   (run + 1) * rsub)
+        Ks = K1 if run is None else rsub
+        tri_off = 0 if run is None else run * rsub
         if g is None:
             dxg, dyg, dzg = dx, dy, dz
             oxg, oyg, ozg = ox, oy, oz
@@ -335,9 +347,9 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                 ozg = o_ref[2, 0, :, sl]
         tsg = t_s[:, sl]
         chunk = tris[slot]                            # [K1, ROWS]
-        v0x, v0y, v0z = chunk[:, 0:1], chunk[:, 1:2], chunk[:, 2:3]
-        e1x, e1y, e1z = chunk[:, 3:4], chunk[:, 4:5], chunk[:, 5:6]
-        e2x, e2y, e2z = chunk[:, 6:7], chunk[:, 7:8], chunk[:, 8:9]
+        v0x, v0y, v0z = chunk[rs, 0:1], chunk[rs, 1:2], chunk[rs, 2:3]
+        e1x, e1y, e1z = chunk[rs, 3:4], chunk[rs, 4:5], chunk[rs, 5:6]
+        e2x, e2y, e2z = chunk[rs, 6:7], chunk[rs, 7:8], chunk[rs, 8:9]
 
         hx = dyg * e2z - dzg * e2y            # [K1,Rg]
         hy = dzg * e2x - dxg * e2z
@@ -391,9 +403,9 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
 
         @pl.when(jnp.any(better))
         def _():
-            subl = jax.lax.broadcasted_iota(jnp.int32, (K1, Rg), 0)
+            subl = jax.lax.broadcasted_iota(jnp.int32, (Ks, Rg), 0)
             eq = ok & (tt == tm)
-            tri_sel = jnp.min(jnp.where(eq, subl, K1), axis=0, keepdims=True)
+            tri_sel = jnp.min(jnp.where(eq, subl, Ks), axis=0, keepdims=True)
             onehot = subl == tri_sel          # [K1,Rg], one tri per better ray
             u_sel = jnp.sum(jnp.where(onehot, uu, 0.0), axis=0, keepdims=True)
             v_sel = jnp.sum(jnp.where(onehot, vv, 0.0), axis=0, keepdims=True)
@@ -401,7 +413,8 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
             btmax[0] = jnp.max(t_s[:])
             if group_gate and g is not None:
                 btmaxg[g] = jnp.max(t_s[:, sl])
-            slot_s[:, sl] = jnp.where(better, base_slot * K1 + tri_sel,
+            slot_s[:, sl] = jnp.where(better,
+                                      base_slot * K1 + tri_off + tri_sel,
                                       slot_s[:, sl])
             u_s[:, sl] = jnp.where(better, u_sel, u_s[:, sl])
             v_s[:, sl] = jnp.where(better, v_sel, v_s[:, sl])
@@ -416,11 +429,63 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                 # uvs, RMSE 0.104 vs the oracle at depth 2 (round-2 bug,
                 # found by the full-scene hardware golden run)
                 sel = jax.lax.dot_general(
-                    chunk[:, 0:36], onehot.astype(jnp.float32),
+                    chunk[rs, 0:36], onehot.astype(jnp.float32),
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
                 attr_s[:, sl] = jnp.where(better, sel, attr_s[:, sl])
+
+    def sweep_cluster(slot, base_slot, g=None):
+        """One cluster's triangle work. With sub_gate, slab-test the
+        SUBRUNS 16-tri sub-run AABBs riding the slab's pad columns
+        (annotated at build — accel/clusters._assemble) and run only the
+        hitting sub-sweeps; ~45% of swept (cluster,ray) pairs belong to
+        rays whose per-ray gate is off (tools/subgroup_sim.py), which
+        whole-cluster sweeps cannot skip."""
+        if not sub_gate:
+            tri_block(slot, base_slot, g)
+            return
+        sl = slice(None) if g is None else slice(g * LANES, (g + 1) * LANES)
+        if g is None:
+            ixg, iyg, izg = ix, iy, iz
+            oxg, oyg, ozg = ox, oy, oz
+        else:
+            # fresh tile-aligned loads (lane-offset layout; see tri_block)
+            ixg = _safe_inv(d_ref[0, 0, :, sl])
+            iyg = _safe_inv(d_ref[1, 0, :, sl])
+            izg = _safe_inv(d_ref[2, 0, :, sl])
+            if point_origin:
+                oxg, oyg, ozg = ox, oy, oz
+            else:
+                oxg = o_ref[0, 0, :, sl]
+                oyg = o_ref[1, 0, :, sl]
+                ozg = o_ref[2, 0, :, sl]
+        chunk = tris[slot]
+        bnx = chunk[0:SUBRUNS, SUB_COL + 0:SUB_COL + 1]      # [8,1]
+        bny = chunk[0:SUBRUNS, SUB_COL + 1:SUB_COL + 2]
+        bnz = chunk[0:SUBRUNS, SUB_COL + 2:SUB_COL + 3]
+        bxx = chunk[0:SUBRUNS, SUB_COL + 3:SUB_COL + 4]
+        bxy = chunk[0:SUBRUNS, SUB_COL + 4:SUB_COL + 5]
+        bxz = chunk[0:SUBRUNS, SUB_COL + 5:SUB_COL + 6]
+        tsg = t_s[:, sl]
+        t0x = (bnx - oxg) * ixg
+        t1x = (bxx - oxg) * ixg
+        t0y = (bny - oyg) * iyg
+        t1y = (bxy - oyg) * iyg
+        t0z = (bnz - ozg) * izg
+        t1z = (bxz - ozg) * izg
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        hit8 = ((tn <= tf) & (tf >= TMIN) & (tn <= tsg)
+                & (tsg > TMIN))                              # [8,Rg]
+        for r_ in range(SUBRUNS):
+            @pl.when(jnp.any(hit8[r_:r_ + 1, :]))
+            def _(r_=r_):
+                tri_block(slot, base_slot, g, run=r_)
 
     # One dense pass over ALL supercluster boxes → multi-word scalar
     # bitmask in SMEM (32 superclusters per i32 word — scenes of any size,
@@ -714,9 +779,9 @@ def _trace_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                                            gm, g) & 1) == 1)
                                          & (rd_tlb(i) < btmaxg[g]))
                                 def _(g=g):
-                                    tri_block(slot, rd_gated(i), g)
+                                    sweep_cluster(slot, rd_gated(i), g)
                         else:
-                            tri_block(slot, rd_gated(i))
+                            sweep_cluster(slot, rd_gated(i))
             return 0
 
         jax.lax.fori_loop(0, count, cl_body, 0)
@@ -740,7 +805,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                 stats: bool = False, point_origin: bool = False,
                 approx_recip: bool = True, sort: bool = True,
                 group_gate: bool = False, pregate=False,
-                ablate: str = ""):
+                ablate: str = "", sub_gate: bool = False):
     """Trace rays against the cluster tree (lane-major I/O).
 
     origins/dirs: f32[3, Nb, 128]; tmax: f32[Nb, 128]. N = Nb*128 must be
@@ -805,7 +870,7 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                         point_origin=point_origin,
                         approx_recip=approx_recip, sort=sort,
                         group_gate=group_gate, pregate=pregate,
-                        ablate=ablate)
+                        ablate=ablate, sub_gate=sub_gate)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "occlusion",
@@ -813,13 +878,13 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                                              "stats", "point_origin",
                                              "approx_recip", "sort",
                                              "group_gate", "pregate",
-                                             "ablate"))
+                                             "ablate", "sub_gate"))
 def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                  block: int, occlusion: bool, with_attributes: bool,
                  interpret: bool, stats: bool, point_origin: bool,
                  approx_recip: bool, sort: bool = True,
                  group_gate: bool = False, pregate: str = "",
-                 ablate: str = ""):
+                 ablate: str = "", sub_gate: bool = False):
     nb = dirs.shape[1]
     N = nb * LANES
     assert N % block == 0, f"ray count {N} not a multiple of block {block}"
@@ -896,7 +961,7 @@ def _trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
                                point_origin=point_origin,
                                approx_recip=approx_recip, sort=sort,
                                group_gate=group_gate, pregate=pregate,
-                               ablate=ablate)
+                               ablate=ablate, sub_gate=sub_gate)
     grid = (nblocks,)
     attr_rows = 36 if with_attributes else 1
     # Ray I/O rides as [·, nblocks, 1, block] — a free reshape of the

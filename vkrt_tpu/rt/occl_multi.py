@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vkrt_tpu.accel.clusters import K2, ROWS, ClusterTree
+from vkrt_tpu.accel.clusters import K2, ROWS, SUBRUNS, SUB_COL, ClusterTree
 from vkrt_tpu.rt.dense import TMIN, _INF, _DET_EPS, LANES, _safe_inv
 
 
@@ -46,7 +46,7 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                        sc_mask, btmax, btmaxg, *t_s, n_sc: int, ns: int,
                        sort: bool = True, group_gate: bool = False,
                        pregate: str = "", ablate: str = "",
-                       visit: str = "near"):
+                       visit: str = "near", sub_gate: bool = False):
     recheck = pregate == "recheck"
     R = d_ref.shape[-1]
     NBUF = sem.shape[0]
@@ -103,17 +103,21 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
         entry = jnp.min(jnp.where(hit, tn, _INF), axis=1, keepdims=True)
         return jnp.any(hit, axis=1, keepdims=True), entry, hit
 
-    def tri_block(slot, s, g=None):
+    def tri_block(slot, s, g=None, run=None):
         """Division-free any-hit MT of set s vs pipeline buffer `slot`.
         With group_gate, g selects ONE 128-lane ray group; per-group
         operands are FRESH tile-aligned ref loads (a lane slice of an
         already-loaded [1,R] value carries a lane-offset layout Mosaic
-        cannot broadcast against [K1,1] operands — see rt/dense.py)."""
+        cannot broadcast against [K1,1] operands — see rt/dense.py).
+        With sub_gate, `run` (static) selects ONE 16-tri sub-run."""
         sl = slice(None) if g is None else slice(g * 128, (g + 1) * 128)
+        rsub = K1 // SUBRUNS
+        rs = slice(None) if run is None else slice(run * rsub,
+                                                   (run + 1) * rsub)
         chunk = tris[slot]
-        v0x, v0y, v0z = chunk[:, 0:1], chunk[:, 1:2], chunk[:, 2:3]
-        e1x, e1y, e1z = chunk[:, 3:4], chunk[:, 4:5], chunk[:, 5:6]
-        e2x, e2y, e2z = chunk[:, 6:7], chunk[:, 7:8], chunk[:, 8:9]
+        v0x, v0y, v0z = chunk[rs, 0:1], chunk[rs, 1:2], chunk[rs, 2:3]
+        e1x, e1y, e1z = chunk[rs, 3:4], chunk[rs, 4:5], chunk[rs, 5:6]
+        e2x, e2y, e2z = chunk[rs, 6:7], chunk[rs, 7:8], chunk[rs, 8:9]
         if g is None:
             dx, dy, dz = dxs[s], dys[s], dzs[s]
         else:
@@ -149,6 +153,48 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
             btmax[s] = jnp.max(t_s[s][:])
             if group_gate and g is not None:
                 btmaxg[s * G + g] = jnp.max(t_s[s][:, sl])
+
+    def sweep_cluster(slot, s, g=None):
+        """Set-s triangle work for one cluster. With sub_gate, slab-test
+        the SUBRUNS 16-tri sub-run AABBs riding the slab's pad columns
+        (accel/clusters._assemble) and run only the hitting sub-sweeps
+        (see rt/dense.py sweep_cluster)."""
+        if not sub_gate:
+            tri_block(slot, s, g)
+            return
+        sl = slice(None) if g is None else slice(g * 128, (g + 1) * 128)
+        if g is None:
+            ixg, iyg, izg = ixs[s], iys[s], izs[s]
+        else:
+            ixg = _safe_inv(d_ref[s * 3 + 0, 0, :, sl])
+            iyg = _safe_inv(d_ref[s * 3 + 1, 0, :, sl])
+            izg = _safe_inv(d_ref[s * 3 + 2, 0, :, sl])
+        chunk = tris[slot]
+        bnx = chunk[0:SUBRUNS, SUB_COL + 0:SUB_COL + 1]      # [8,1]
+        bny = chunk[0:SUBRUNS, SUB_COL + 1:SUB_COL + 2]
+        bnz = chunk[0:SUBRUNS, SUB_COL + 2:SUB_COL + 3]
+        bxx = chunk[0:SUBRUNS, SUB_COL + 3:SUB_COL + 4]
+        bxy = chunk[0:SUBRUNS, SUB_COL + 4:SUB_COL + 5]
+        bxz = chunk[0:SUBRUNS, SUB_COL + 5:SUB_COL + 6]
+        tsg = t_s[s][:, sl]
+        t0x = (bnx - oxs[s]) * ixg
+        t1x = (bxx - oxs[s]) * ixg
+        t0y = (bny - oys[s]) * iyg
+        t1y = (bxy - oys[s]) * iyg
+        t0z = (bnz - ozs[s]) * izg
+        t1z = (bxz - ozs[s]) * izg
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        hit8 = ((tn <= tf) & (tf >= TMIN) & (tn <= tsg)
+                & (tsg > TMIN))                              # [8,Rg]
+        for r_ in range(SUBRUNS):
+            @pl.when(jnp.any(hit8[r_:r_ + 1, :]))
+            def _(r_=r_):
+                tri_block(slot, s, g, run=r_)
 
     # supercluster bitmask: union over segment sets
     if not pregate:
@@ -462,13 +508,13 @@ def _occl_multi_kernel(order_ref, sc_ref, cl_ref, o_ref, d_ref, tmax_ref,
                                                  & (rd_tlb(i)
                                                     < btmaxg[s * G + g]))
                                         def _(s=s, g=g):
-                                            tri_block(slot, s, g)
+                                            sweep_cluster(slot, s, g)
                             else:
                                 @pl.when(((jax.lax.shift_right_logical(
                                            rd_smask(i), s) & 1) == 1)
                                          & (rd_tlb(i) < btmax[s]))
                                 def _(s=s):
-                                    tri_block(slot, s)
+                                    sweep_cluster(slot, s)
             return 0
 
         jax.lax.fori_loop(0, count, cl_body, 0)
@@ -509,12 +555,12 @@ def _sc_order_multi(tree, light_pts, dirs, ns, nblocks, block, n_sc,
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "sort",
                                              "group_gate", "pregate",
-                                             "ablate", "visit"))
+                                             "ablate", "visit", "sub_gate"))
 def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
                    block: int = 512, interpret: bool = False,
                    sort: bool = True, group_gate: bool = False,
                    pregate=False, ablate: str = "",
-                   visit: str = "near"):
+                   visit: str = "near", sub_gate: bool = False):
     """NS-segment-set occlusion trace.
 
     light_pts: f32[NS, 3] — one origin point per segment set (shared by
@@ -597,7 +643,8 @@ def occluded_multi(tree: ClusterTree, light_pts, dirs, tmax, *,
 
     kernel = functools.partial(_occl_multi_kernel, n_sc=n_sc, ns=ns,
                                sort=sort, group_gate=group_gate,
-                               pregate=pregate, ablate=ablate, visit=visit)
+                               pregate=pregate, ablate=ablate, visit=visit,
+                               sub_gate=sub_gate)
     d_k = dirs.reshape(ns * 3, nblocks, 1, block)
     tmax_k = tmax.reshape(ns, nblocks, 1, block)
     out_shape = jax.ShapeDtypeStruct((ns, nblocks, 1, block), jnp.int32)

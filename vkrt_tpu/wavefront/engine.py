@@ -155,11 +155,12 @@ class DenseBackend(NamedTuple):
     scene_aabb: object = None
 
     def closest(self, o, d, tmax, interpret=False, block=BLOCK, sort=True,
-                group_gate=False, pregate=False):
+                group_gate=False, pregate=False, sub_gate=False):
         from vkrt_tpu.rt.dense import trace_dense
         t, slot, u, v, attrs = trace_dense(
             self.tree, o, d, tmax, with_attributes=True, interpret=interpret,
-            block=block, sort=sort, group_gate=group_gate, pregate=pregate)
+            block=block, sort=sort, group_gate=group_gate, pregate=pregate,
+            sub_gate=sub_gate)
         return t, u, v, attrs, slot >= 0
 
     def occluded(self, o, d, tmax, interpret=False):
@@ -188,7 +189,7 @@ class DenseBackend(NamedTuple):
     # 215 ms (4-light 1080p shadow pass) over per-light dispatches.
     def occluded_multi(self, light_pts, sd, st, interpret=False,
                        block=BLOCK, sort=True, pregate=False,
-                       group_gate=False):
+                       group_gate=False, sub_gate=False):
         import os
         if os.environ.get("VKRT_NO_MULTI_OCCL"):   # bisect escape hatch
             outs = []
@@ -201,7 +202,8 @@ class DenseBackend(NamedTuple):
         from vkrt_tpu.rt.occl_multi import occluded_multi
         return occluded_multi(self.tree, light_pts, sd, st, block=block,
                               interpret=interpret, sort=sort,
-                              pregate=pregate, group_gate=group_gate)
+                              pregate=pregate, group_gate=group_gate,
+                              sub_gate=sub_gate)
 
 
 class ReferenceBackend(NamedTuple):
@@ -211,7 +213,7 @@ class ReferenceBackend(NamedTuple):
     scene_aabb: object = None  # f32[2,3]; see DenseBackend.scene_aabb
 
     def closest(self, o, d, tmax, interpret=False, block=BLOCK, sort=True,
-                group_gate=False, pregate=False):
+                group_gate=False, pregate=False, sub_gate=False):
         from vkrt_tpu.rt.traverse import trace_closest
         of, df = L.from_cvec(o), L.from_cvec(d)
         t, tri, u, v = trace_closest(self.bvh, of, df, C.RAY_TMIN,
@@ -235,7 +237,7 @@ class ReferenceBackend(NamedTuple):
 
     def occluded_multi(self, light_pts, sd, st, interpret=False,
                        block=BLOCK, sort=True, pregate=False,
-                       group_gate=False):
+                       group_gate=False, sub_gate=False):
         outs = []
         for s in range(light_pts.shape[0]):
             o = jnp.broadcast_to(light_pts[s][:, None, None], sd[s].shape)
@@ -412,7 +414,8 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
             # tiles gate ~95% of clusters for every group anyway)
             t, u, v, attrs, hitm = backend.closest(
                 o_t, d_t, tm_t, interpret=interpret, block=cblk,
-                sort=_depth == 0, group_gate=_depth >= 1, pregate=rc)
+                sort=_depth == 0, group_gate=_depth >= 1, pregate=rc,
+                sub_gate=cfg.sub_gate_closest)
             if rs_closest:
                 t = resort.permute_rays(t, inv)
                 u = resort.permute_rays(u, inv)
@@ -672,7 +675,8 @@ def wavefront_rounds(backend, tex: TextureArrays, origin_pt, dirs, lights,
                                                  sort=_depth == 0
                                                  and not rcs
                                                  and not pt_shadow,
-                                                 pregate=rcs)
+                                                 pregate=rcs,
+                                                 sub_gate=cfg.sub_gate_shadows)
                 if cons:
                     occ_all = pack.scatter_back(
                         occ_all.astype(jnp.float32), plan["grank"],

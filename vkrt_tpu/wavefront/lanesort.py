@@ -44,7 +44,7 @@ lineage):
   (1,128)->(128,1) transposes stored segment-wise), reduced over
   sublanes. The permutation applies as one-hot MXU matmuls at
   precision=HIGHEST (exact for f32 payloads — the pack.py argument,
-  verified bit-exact on hardware): acc[c, :] += x[c, src_g] @ P_g with
+  verified bit-exact on hardware): acc[c, :] += x[c, src_g] · P_g with
   P_g[src, dst] = (rank[src] == dst). The inverse kernel mirrors it
   with M_g[dst, src] = (dst == rank[src]) — no transposes at all.
 
