@@ -155,3 +155,45 @@ def test_stable_oracle_certification(sponza_model):
     m = golden_metrics(np.asarray(fb), golden, stable=stable)
     assert m["stable_frac"] >= 0.90, m
     assert m["rmse_stable"] <= 1e-3, m
+
+
+def test_config5_refit_transform_golden(subset):
+    """Oracle coverage for the per-frame accel-update path (BASELINE
+    config 5; ROADMAP fidelity item). The engine side refits the dense
+    cluster tree with an affine TLAS-instance transform
+    (accel/refit.py — geometry rows, directional attributes, all AABBs
+    and the sub-run boxes); the oracle traces host-transformed
+    geometry. Uniform scale + rotation + translation, the reference's
+    TLAS transform class (ref: src/Raytracer.cpp:1165-1177)."""
+    import jax
+
+    flat, heap, tex, _, cam = subset
+    from vkrt_tpu.accel.refit import refit_clusters
+    from vkrt_tpu.wavefront.engine import make_backend as mk
+
+    ang, sc = 0.35, 0.9
+    c, s = np.cos(ang), np.sin(ang)
+    rot = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]],
+                   np.float32)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = sc * rot
+    m[:3, 3] = [0.1, -0.05, 0.2]
+
+    be = mk(flat, "dense")
+    be = be._replace(tree=refit_clusters(be.tree, jnp.asarray(m)))
+
+    pos = (flat.positions @ (sc * rot).T + m[:3, 3]).astype(np.float32)
+    nrm = (flat.normals @ rot.T).astype(np.float32)
+    tan = np.concatenate([(flat.tangents[:, :3] @ rot.T),
+                          flat.tangents[:, 3:4]], axis=1).astype(np.float32)
+    flat_t = dataclasses.replace(flat, positions=pos, normals=nrm,
+                                 tangents=tan)
+
+    cfg = dataclasses.replace(C.reference_config(), width=W, height=H)
+    fb, rays = render_frame(be, tex, jnp.asarray(cam.proj_inverse),
+                            jnp.asarray(cam.view_inverse),
+                            jnp.asarray(C.LIGHT_POSITIONS), cfg,
+                            interpret=True)
+    golden = render_golden(flat_t, heap, cam.proj_inverse, cam.view_inverse,
+                           cfg)
+    assert rmse(np.asarray(fb), golden) <= 1e-3
