@@ -853,6 +853,15 @@ def trace_dense(tree: ClusterTree, origins, dirs, tmax, *,
     Composes with group_gate. Occlusion outputs bit-identical; closest
     identical up to near-tie commits (visit order differs — same
     contract as wavefront/resort.py).
+
+    sub_gate: in-sweep sub-cluster hierarchy — slab-test the 8 16-tri
+    sub-run AABBs riding the cluster slab's pad columns (annotated at
+    build, accel/clusters) and run only the hitting 16-tri sub-sweeps.
+    Outputs bit-identical (ascending-run visits + strict-< commits keep
+    tie-breaks). MEASURED DEAD on this chip (branch + commit
+    fragmentation > the 12-31% sweep math skipped; config.py
+    sub_gate_* post-mortem) — kept for scenes with far lower sub-box
+    hit fractions.
     """
     # VKRT_NO_APPROX_RECIP resolves HERE, outside the jit, into the
     # static approx_recip argument (so it is part of the jit cache key —
